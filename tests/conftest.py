@@ -1,0 +1,23 @@
+"""Test configuration: run everything on CPU with 8 virtual devices.
+
+Must set env vars before jax is imported anywhere (pytest imports conftest
+first). This is the 'fake backend' that lets multi-chip sharding be tested
+without a real TPU slice.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
