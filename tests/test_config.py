@@ -1,0 +1,56 @@
+"""Config system tests: defaults, YAML load (incl. the reference's own
+train_config.yaml), CLI overrides, unknown-key rejection."""
+
+import pytest
+
+from vfi_tpu.utils.config import ColorJitterConfig, TrainConfig, load_train_config
+
+REFERENCE_YAML = "/root/reference/config/train_config.yaml"
+
+
+def test_defaults_match_shipped_yaml_values():
+    cfg = TrainConfig()
+    assert cfg.batch_size == 4
+    assert cfg.learning_rate == 5e-4
+    assert cfg.charbonnier_weight == 0.5
+    assert cfg.vgg_weight == 0.15  # yaml value, NOT train.py's 0.05 fallback
+    assert cfg.color_weight == 0.3
+    assert cfg.crop_size == (256, 256)
+    assert cfg.color_jitter == ColorJitterConfig(0.2, 0.2, 0.2, 0.1)
+
+
+def test_loads_reference_yaml_unmodified():
+    import os
+
+    if not os.path.exists(REFERENCE_YAML):
+        pytest.skip("reference yaml not mounted")
+    cfg = load_train_config(REFERENCE_YAML)
+    assert cfg.batch_size == 4
+    assert cfg.num_epochs == 100
+    assert cfg.temporal_weight == 0.15
+    assert cfg.random_grayscale == 0.2
+    assert cfg.crop_size == (256, 256)
+    assert cfg.gradient_order == 1  # dead key accepted
+
+
+def test_cli_overrides():
+    cfg = load_train_config(None, ["--batch_size", "16",
+                                   "--color_jitter.hue", "0.3",
+                                   "--mesh.data", "4",
+                                   "--bf16", "false"])
+    assert cfg.batch_size == 16
+    assert cfg.color_jitter.hue == 0.3
+    assert cfg.mesh.data == 4
+    assert cfg.bf16 is False
+
+
+def test_unknown_key_rejected(tmp_path):
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("batch_size: 4\nnot_a_key: 1\n")
+    with pytest.raises(KeyError):
+        load_train_config(str(bad))
+
+
+def test_override_must_be_pairs():
+    with pytest.raises(ValueError):
+        load_train_config(None, ["--batch_size"])

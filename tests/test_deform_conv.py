@@ -38,7 +38,7 @@ def _rand_case(rng, b=1, h=6, w=5, cin=4, cout=6, k=3, og=1, groups=1,
     dict(off_scale=8.0),   # pushes many samples out of bounds
 ])
 def test_deform_conv_matches_oracle(rng, kwargs):
-    geo = {k: kwargs.pop(k) for k in ("stride", "padding", "dilation")
+    geo = {k: kwargs[k] for k in ("stride", "padding", "dilation")
            if k in kwargs}
     x, offset, mask, weight, bias = _rand_case(rng, **kwargs)
     ours = np.asarray(deform_conv2d(

@@ -1,0 +1,96 @@
+"""Inference pipeline tests: factor selection, midpoints, recursion, video IO."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vfi_tpu.infer.pair import FrameInterpolator, pick_interpolation_factor
+
+
+def test_factor_auto_targets_60fps():
+    """Reference selection (inference.py:103-114): argmin |fps*(f+1) - 60|."""
+    assert pick_interpolation_factor(30.0, None)[0] == 1    # 30*2=60 exact
+    assert pick_interpolation_factor(15.0, None)[0] == 3    # 15*4=60
+    # 24fps: 48 and 72 tie at |12|; strict < keeps the first (smaller) factor,
+    # matching the reference loop (inference.py:106-110)
+    assert pick_interpolation_factor(24.0, None)[0] == 1
+    f, fps = pick_interpolation_factor(12.0, None)
+    assert f == 4 and fps == 60.0
+
+
+def test_factor_manual_clamped():
+    assert pick_interpolation_factor(30.0, 120.0)[0] == 3
+    assert pick_interpolation_factor(30.0, 300.0, max_factor=4)[0] == 4
+    assert pick_interpolation_factor(30.0, 30.0)[0] == 1  # floor at 1
+
+
+@pytest.fixture(scope="module")
+def tiny_interp():
+    from vfi_tpu.models import EMAVFI
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    return FrameInterpolator(params, mid_channels=8, num_blocks=1, bf16=False)
+
+
+def test_midpoints_shape_and_range(tiny_interp, rng):
+    f0 = rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
+    f1 = rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
+    mid = np.asarray(tiny_interp.midpoints(f0, f1))
+    assert mid.shape == (2, 16, 16, 3)
+    assert mid.min() >= 0 and mid.max() <= 1
+
+
+def test_recursive_counts(tiny_interp, rng):
+    f0 = rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+    f1 = rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+    for factor in (1, 2, 3, 4):
+        frames = tiny_interp.recursive(f0, f1, factor)
+        assert len(frames) == factor
+    # factor 3 = true bisection: the three frames must not be identical
+    frames = [np.asarray(f) for f in tiny_interp.recursive(f0, f1, 3)]
+    assert not np.allclose(frames[0], frames[1])
+
+
+def test_reference_compat_duplicates_midpoint(rng):
+    from vfi_tpu.models import EMAVFI
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    interp = FrameInterpolator(params, mid_channels=8, num_blocks=1,
+                               bf16=False, reference_compat=True)
+    f0 = rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+    f1 = rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+    frames = [np.asarray(f) for f in interp.recursive(f0, f1, 3)]
+    # reference quirk (inference.py:173-177): same midpoint 3 times
+    np.testing.assert_array_equal(frames[0], frames[1])
+    np.testing.assert_array_equal(frames[1], frames[2])
+
+
+def test_video_roundtrip(tiny_interp, tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from vfi_tpu.infer.video import interpolate_video
+
+    src = str(tmp_path / "in.avi")
+    dst = str(tmp_path / "out.avi")
+    w, h, n = 64, 48, 6
+    writer = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"MJPG"), 30.0, (w, h))
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+    for i in range(n):
+        writer.write(np.roll(base, i * 2, axis=1))
+    writer.release()
+
+    stats = interpolate_video(src, dst, tiny_interp, target_fps=60.0,
+                              scale=0.25, batch_pairs=2)
+    assert stats["factor"] == 1
+    # n frames in -> (n-1) pairs * 2 + trailing source = 2n - 1
+    assert stats["frames_written"] == 2 * n - 1
+    cap = cv2.VideoCapture(dst)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 2 * n - 1
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == int(w * 0.25)
+    cap.release()

@@ -1,0 +1,81 @@
+"""`python infer.py {two-frame,video}` — interpolation CLI.
+
+`video` mirrors the reference's argparse surface (reference:
+inference.py:23-35) plus TPU batch options; `two-frame` is the minimal
+end-to-end slice (BASELINE config 1): two images in, midpoint out.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="EMAVFI inference (TPU-native)")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    two = sub.add_parser("two-frame", help="interpolate the midpoint of two images")
+    two.add_argument("--frame0", required=True)
+    two.add_argument("--frame1", required=True)
+    two.add_argument("--output", required=True)
+    two.add_argument("--model_path", required=True)
+    two.add_argument("--size", type=int, nargs=2, default=None,
+                     metavar=("H", "W"), help="resize inputs (default: native)")
+    two.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+
+    vid = sub.add_parser("video", help="frame-rate upconversion of a video")
+    vid.add_argument("--input_video", required=True)
+    vid.add_argument("--output_video", required=True)
+    vid.add_argument("--model_path", required=True)
+    vid.add_argument("--target_fps", type=float, default=None)
+    vid.add_argument("--max_interpolation_factor", type=int, default=4)
+    vid.add_argument("--frame_interval", type=int, default=1)
+    vid.add_argument("--codec", default="mp4v")
+    vid.add_argument("--scale", type=float, default=0.5)
+    vid.add_argument("--batch_pairs", type=int, default=8)
+    vid.add_argument("--fp32", action="store_true")
+    vid.add_argument("--reference-compat", action="store_true",
+                     help="bit-for-bit reproduce the reference CLI's output "
+                          "quirks (BGR stats, trailing originals, duplicated "
+                          "midpoints)")
+    args = parser.parse_args(argv)
+
+    from vfi_tpu.cli.common import load_model_params, setup
+    setup()
+    params = load_model_params(args.model_path)
+
+    from vfi_tpu.infer.pair import FrameInterpolator
+
+    if args.cmd == "two-frame":
+        import numpy as np
+        from PIL import Image
+
+        def load(p):
+            img = Image.open(p).convert("RGB")
+            if args.size:
+                img = img.resize((args.size[1], args.size[0]), Image.BILINEAR)
+            return np.asarray(img, np.float32)[None] / 255.0
+
+        interp = FrameInterpolator(params, bf16=not args.fp32)
+        mid = np.asarray(interp.midpoints(load(args.frame0), load(args.frame1)))[0]
+        Image.fromarray((np.clip(mid, 0, 1) * 255).astype(np.uint8)).save(args.output)
+        print(f"wrote {args.output}")
+        return 0
+
+    interp = FrameInterpolator(params, bf16=not args.fp32,
+                               reference_compat=args.reference_compat)
+    from vfi_tpu.infer.video import interpolate_video
+
+    stats = interpolate_video(
+        args.input_video, args.output_video, interp,
+        target_fps=args.target_fps,
+        max_interpolation_factor=args.max_interpolation_factor,
+        frame_interval=args.frame_interval, codec=args.codec,
+        scale=args.scale, batch_pairs=args.batch_pairs,
+        reference_compat=args.reference_compat)
+    print(stats)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

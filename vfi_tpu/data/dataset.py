@@ -1,0 +1,82 @@
+"""Frame-triplet dataset over scene directories.
+
+Mirrors the reference's `VideoDataset` scan/index logic
+(reference: src/utils/data_utils.py:8-41): each subdirectory of `data_dir`
+is a scene; frames are name-sorted .png/.jpg/.jpeg; samples are overlapping
+(i, i+interval, i+2*interval) triplets.
+
+Unlike the reference (PIL decode inside `__getitem__` on the training
+process, num_workers=0 — data_utils.py:46-48, train.py:61), decode and
+augmentation here are plain functions over numpy so the `DataLoader` can
+run them on worker threads while the TPU computes.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from vfi_tpu.data.augment import AugmentConfig, augment_triplet
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+_EXTS = (".png", ".jpg", ".jpeg")
+
+
+def load_image(path: str) -> np.ndarray:
+    """Decode to (H, W, 3) float32 RGB in [0, 1]."""
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), np.float32) / 255.0
+
+
+@dataclass
+class TripletDataset:
+    """Index of (frame0, frame_t, frame1) triplet paths + per-item pipeline.
+
+    Args:
+      data_dir: directory of scene subdirectories.
+      frame_interval: triplet stride (reference default 1).
+      augment: AugmentConfig, or None for no augmentation (eval).
+      normalize: apply ImageNet normalization after augmentation — the
+        reference's training convention (train.py:40-43). The model output
+        stays [0, 1] (the reference's normalization mismatch, preserved for
+        checkpoint parity).
+    """
+
+    data_dir: str
+    frame_interval: int = 1
+    augment: Optional[AugmentConfig] = None
+    normalize: bool = True
+
+    def __post_init__(self):
+        self.triplets: list[Tuple[str, str, str]] = []
+        for scene in sorted(os.listdir(self.data_dir)):
+            scene_path = os.path.join(self.data_dir, scene)
+            if not os.path.isdir(scene_path):
+                continue
+            frames = sorted(
+                os.path.join(scene_path, f)
+                for f in os.listdir(scene_path)
+                if f.lower().endswith(_EXTS)
+            )
+            fi = self.frame_interval
+            for i in range(len(frames) - 2 * fi):
+                self.triplets.append((frames[i], frames[i + fi], frames[i + 2 * fi]))
+
+    def __len__(self) -> int:
+        return len(self.triplets)
+
+    def get(self, idx: int, rng: np.random.Generator) -> Sequence[np.ndarray]:
+        """Load + augment + normalize one triplet -> three (h, w, 3) f32."""
+        paths = self.triplets[idx]
+        frames = [load_image(p) for p in paths]
+        if self.augment is not None:
+            frames = augment_triplet(frames, rng, self.augment)
+        if self.normalize:
+            frames = [(f - IMAGENET_MEAN) / IMAGENET_STD for f in frames]
+        return frames

@@ -1,0 +1,103 @@
+"""EMAVFI — the flagship two-frame video-frame-interpolation model.
+
+A stage-for-stage TPU-native (NHWC, Flax) re-design of the reference's
+`EMA_VFI` CNN (reference: src/models/ema_vfi.py:63-171). Parity-relevant
+behaviors preserved:
+
+- Stage structure and channel plan: feature extraction (2*C_in -> M, then
+  `num_blocks` M->M blocks, ema_vfi.py:73-76), context encoding
+  (M->2M s2 ->4M s2 ->4M -> global-avg-pool -> dense 4M->M, :79-86), motion
+  estimation on cat(feat, broadcast ctx) (2M->M->M->2 flow, :89-93),
+  bilinear backward warp of *frame2 RGB* by the flow (:130, 149-170),
+  `num_blocks` modulated deformable convs on cat(feat, warped) at M+C_in
+  channels (:96-99, 134-138), reconstruction M+C_in->M->M/2->C_in with tanh
+  then (x+1)/2 (:102-107, 144-146).
+- The flow tensor's channels are (dx, dy) — channel 0 displaces x —
+  matching the reference's grid construction (:153-162).
+- Deformable blocks keep channels (the reference's out_channels==in_channels
+  quirk, :27) and use a single offset group (its `deformable_groups = 8` is
+  dead code, :70).
+
+TPU-first choices (not in the reference):
+- NHWC layout end-to-end; every conv is an XLA MXU matmul over the 128-lane
+  channel dimension.
+- Optional bfloat16 activation compute (`dtype=jnp.bfloat16`) with float32
+  params.
+- All control flow static: safe under jit / pjit / shard_map, any mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vfi_tpu.models.layers import ConvBlock, ModulatedDeformConv, torch_bias_init, torch_kernel_init
+from vfi_tpu.ops.warp import warp
+
+
+class EMAVFI(nn.Module):
+    """Two-frame midpoint interpolation CNN (~1.43M params at defaults).
+
+    Call: ``model.apply(params, frame1, frame2)`` with NHWC frames
+    (B, H, W, in_channels); returns the predicted middle frame in [0, 1].
+    """
+
+    in_channels: int = 3
+    mid_channels: int = 64
+    num_blocks: int = 3
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, frame1: jnp.ndarray, frame2: jnp.ndarray) -> jnp.ndarray:
+        m = self.mid_channels
+        dt = self.dtype
+        compute_dtype = dt or frame1.dtype
+        f1 = frame1.astype(compute_dtype)
+        f2 = frame2.astype(compute_dtype)
+
+        # 1. Feature extraction (full resolution, stride-1 trunk).
+        feat = jnp.concatenate([f1, f2], axis=-1)
+        feat = ConvBlock(m, dtype=dt, name="feat_ext_conv1")(feat)
+        for i in range(self.num_blocks):
+            feat = ConvBlock(m, dtype=dt, name=f"feat_ext_block{i}")(feat)
+
+        # 2. Context encoding -> one global M-dim vector per pair.
+        ctx = ConvBlock(2 * m, stride=2, dtype=dt, name="ctx_conv1")(feat)
+        ctx = ConvBlock(4 * m, stride=2, dtype=dt, name="ctx_conv2")(ctx)
+        ctx = ConvBlock(4 * m, dtype=dt, name="ctx_conv3")(ctx)
+        ctx = jnp.mean(ctx, axis=(1, 2))  # global average pool -> (B, 4M)
+        ctx = nn.Dense(
+            m,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init((4 * m, m)),
+            dtype=dt,
+            param_dtype=jnp.float32,
+            name="ctx_dense",
+        )(ctx)
+
+        # 3. Motion estimation: features + broadcast context -> dense flow.
+        b, h, w, _ = feat.shape
+        ctx_map = jnp.broadcast_to(ctx[:, None, None, :], (b, h, w, m))
+        flow = jnp.concatenate([feat, ctx_map], axis=-1)
+        flow = ConvBlock(m, dtype=dt, name="motion_conv1")(flow)
+        flow = ConvBlock(m, dtype=dt, name="motion_conv2")(flow)
+        flow = ConvBlock(2, act=False, dtype=dt, name="motion_conv3")(flow)
+
+        # 4. Backward-warp frame2 (RGB) by the flow; bilinear, zeros padding,
+        #    align_corners=True semantics.
+        warped2 = warp(f2, flow, mode="bilinear")
+
+        # 5. Fusion: deformable conv stack over cat(features, warped frame).
+        fused = jnp.concatenate([feat, warped2], axis=-1)
+        fused_ch = m + self.in_channels
+        for i in range(self.num_blocks):
+            fused = ModulatedDeformConv(fused_ch, dtype=dt, name=f"fusion_dcn{i}")(fused)
+
+        # 6. Reconstruction head -> [0, 1] frame.
+        out = ConvBlock(m, dtype=dt, name="rec_conv1")(fused)
+        out = ConvBlock(m // 2, dtype=dt, name="rec_conv2")(out)
+        out = ConvBlock(self.in_channels, act=False, dtype=dt, name="rec_conv3")(out)
+        out = jnp.tanh(out)
+        return ((out + 1.0) * 0.5).astype(jnp.promote_types(frame1.dtype, jnp.float32))

@@ -1,0 +1,160 @@
+"""Reusable Flax layers (NHWC, TPU-first).
+
+Covers the building blocks the reference composes its model from
+(reference: src/models/ema_vfi.py:7-60): plain 3x3 convs, conv+ReLU blocks,
+and the offset-predicting modulated deformable conv ("DCNv2 pack").
+
+TPU notes:
+- Everything is NHWC; convs lower to XLA `conv_general_dilated` which tiles
+  channels onto the MXU (channels-last keeps the 128-lane dimension dense).
+- `param_dtype` stays float32; `dtype` can be bfloat16 for activation compute
+  (mixed-precision policy), matching fp32-master-weights practice.
+- Initialization defaults reproduce PyTorch Conv2d's kaiming-uniform(a=sqrt5)
+  + fan-in-uniform bias so from-scratch training dynamics match the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from vfi_tpu.ops.deform_conv import deform_conv2d
+
+Dtype = Any
+
+# PyTorch nn.Conv2d default init: kaiming_uniform(a=sqrt(5)) == U(-b, b) with
+# b = sqrt(1/fan_in); variance_scaling(1/3, fan_in, uniform) is exactly that.
+torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(kernel_shape: Sequence[int]):
+    """PyTorch Conv2d/Linear bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+
+    `kernel_shape` is the HWIO kernel shape (or (in, out) for dense); fan_in
+    is the product of all dims except the last.
+    """
+    fan_in = int(np.prod(kernel_shape[:-1]))
+    bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class ConvBlock(nn.Module):
+    """3x3 conv (+ optional ReLU) with explicit torch-style padding.
+
+    Equivalent of the reference's `conv`/`conv_block` helpers
+    (src/models/ema_vfi.py:7-14). Explicit symmetric padding is used instead
+    of 'SAME' because for stride-2 XLA's SAME picks (0,1) padding while torch
+    pads (1,1) — sampling positions (and therefore converted-checkpoint
+    outputs) would differ.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    act: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        kernel_shape = (k, k, x.shape[-1] // self.groups, self.features)
+        x = nn.Conv(
+            self.features,
+            (k, k),
+            strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(kernel_shape),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        if self.act:
+            x = nn.relu(x)
+        return x
+
+
+class ModulatedDeformConv(nn.Module):
+    """Offset-predicting modulated deformable conv (DCNv2 "pack").
+
+    Equivalent of the reference's `ModulatedDeformConvPack`
+    (src/models/ema_vfi.py:23-60), including its parity-relevant quirks:
+
+    - The offset conv outputs `og * 3 * k*k` channels, zero-initialized
+      (weights AND bias, ema_vfi.py:42-43), chunked into three k*k groups
+      (static-offset, mask, dynamic-offset); offsets are re-concatenated as
+      cat(static, dynamic) and the mask is sigmoid'ed (ema_vfi.py:57-59).
+      The concatenated 2*og*k*k channels are interpreted in torchvision's
+      (dy, dx)-interleaved tap order by `deform_conv2d`.
+    - Output channels == input channels (the reference assigns
+      `self.out_channels = in_channels`, ignoring its own argument,
+      ema_vfi.py:27). We expose `features` honestly; callers wanting
+      reference behavior pass features == input channels.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    offset_groups: int = 1
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        og = self.offset_groups
+        n_taps = k * k
+
+        raw = nn.Conv(
+            og * 3 * n_taps,
+            (k, k),
+            strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=True,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="offset_conv",
+        )(x)
+
+        off_static, mask, off_dynamic = jnp.split(raw, 3, axis=-1)
+        offset = jnp.concatenate([off_static, off_dynamic], axis=-1)
+        mask = jax.nn.sigmoid(mask)
+
+        kernel_shape = (k, k, x.shape[-1], self.features)
+        weight = self.param("kernel", torch_kernel_init, kernel_shape, jnp.float32)
+        bias = (
+            self.param("bias", torch_bias_init(kernel_shape), (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        dtype = self.dtype or x.dtype
+        return deform_conv2d(
+            x.astype(dtype),
+            offset.astype(dtype),
+            mask.astype(dtype),
+            weight.astype(dtype),
+            bias.astype(dtype) if bias is not None else None,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+        )

@@ -5,12 +5,13 @@ C++/CUDA kernel the reference depends on, src/models/ema_vfi.py:45-60),
 re-designed for TPU rather than translated:
 
 - The CUDA kernel does per-output-pixel fractional gathers then a small
-  per-pixel matmul. Here each of the k*k taps becomes (a) one dense bilinear
-  sample of the full feature map — VPU gather work shared across all output
-  channels — and (b) one large (B*H*W, Cin) x (Cin, Cout) matmul that XLA
-  tiles onto the MXU. The tap loop is a static Python unroll (k*k = 9), so
-  the whole op is 9 gathers + 9 matmuls fused by XLA, with no im2col buffer
-  of shape (..., k*k*Cin) ever materialized.
+  per-pixel matmul. Here each of the k*k taps becomes (a) ONE dense XLA
+  gather that fetches all four bilinear corners at once — indices are
+  packed (B, N*4) so the whole tap is a single gather HLO (keeping gather
+  count low matters enormously for TPU compile time), and (b) one large
+  (B*Ho*Wo, Cin) x (Cin, Cout) matmul that XLA tiles onto the MXU. The tap
+  loop is a static Python unroll (k*k = 9), so the op is 9 gathers + 9
+  matmuls, with no (..., k*k*Cin) im2col buffer ever materialized.
 - Offset/mask tensor layouts follow torchvision exactly so converted
   checkpoints and the reference's quirky chunk/concat offset packing
   (ema_vfi.py:57-58) behave identically:
@@ -26,6 +27,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -42,6 +44,7 @@ def deform_conv2d(
     stride: int | Tuple[int, int] = 1,
     padding: int | Tuple[int, int] = 1,
     dilation: int | Tuple[int, int] = 1,
+    precision=None,
 ) -> jnp.ndarray:
     """Modulated deformable 2D convolution (DCNv2), NHWC.
 
@@ -55,6 +58,9 @@ def deform_conv2d(
         inferred as Cin // weight.shape[2].
       bias: (Cout,) or None.
       stride, padding, dilation: int or (h, w) pairs.
+      precision: matmul precision for the tap contractions (None = backend
+        default — bf16 passes on TPU MXU; use jax.lax.Precision.HIGHEST for
+        strict f32 parity checks).
 
     Returns:
       (B, Ho, Wo, Cout) where Ho = (H + 2*ph - dh*(kh-1) - 1)//sh + 1.
@@ -67,6 +73,7 @@ def deform_conv2d(
     groups = cin // cin_g
     ho = (h + 2 * ph - dh * (kh - 1) - 1) // sh + 1
     wo = (w + 2 * pw - dw * (kw - 1) - 1) // sw + 1
+    n = ho * wo
     n_taps = kh * kw
     og = offset.shape[-1] // (2 * n_taps)
     cin_og = cin // og
@@ -79,68 +86,71 @@ def deform_conv2d(
     ybase = (jnp.arange(ho, dtype=dtype) * sh - ph)[:, None]  # (Ho, 1)
     xbase = (jnp.arange(wo, dtype=dtype) * sw - pw)[None, :]  # (1, Wo)
 
-    # offset -> (B, Ho, Wo, og, taps, 2)
-    off = offset.reshape(b, ho, wo, og, n_taps, 2)
-    if mask is not None:
-        msk = mask.reshape(b, ho, wo, og, n_taps)
+    off = offset.reshape(b, n, og, n_taps, 2)
+    msk = None if mask is None else mask.reshape(b, n, og, n_taps)
 
-    x0f = jnp.floor  # alias
-
-    out = jnp.zeros((b, ho, wo, cout), dtype)
-    w_taps = weight.reshape(kh, kw, cin_g, cout)
+    out = jnp.zeros((b, n, cout), dtype)
 
     for i in range(kh):
         for j in range(kw):
             t = i * kw + j
-            dy = off[..., :, t, 0]  # (B, Ho, Wo, og)
-            dx = off[..., :, t, 1]
-            ys = ybase + i * dh + dy.transpose(3, 0, 1, 2)  # (og, B, Ho, Wo)
-            xs = xbase + j * dw + dx.transpose(3, 0, 1, 2)
-
-            # Bilinear sample with zeros padding, vectorized over (og, B).
-            y0 = x0f(ys)
-            x0 = x0f(xs)
-            wy1 = ys - y0
-            wx1 = xs - x0
-            y0i = y0.astype(jnp.int32)
-            x0i = x0.astype(jnp.int32)
-
-            sampled_og = []
+            per_og = []
             for g in range(og):
-                xg = x[..., g * cin_og:(g + 1) * cin_og]  # (B, H, W, cin_og)
-                xg_flat = xg.reshape(b, h * w, cin_og)
-                acc = None
-                for ddy, wy in ((0, 1.0 - wy1[g]), (1, wy1[g])):
-                    for ddx, wx in ((0, 1.0 - wx1[g]), (1, wx1[g])):
-                        yi = y0i[g] + ddy
-                        xi = x0i[g] + ddx
+                dy = off[:, :, g, t, 0]  # (B, N)
+                dx = off[:, :, g, t, 1]
+                yb = jnp.broadcast_to(ybase + i * dh, (ho, wo)).reshape(1, n)
+                xb = jnp.broadcast_to(xbase + j * dw, (ho, wo)).reshape(1, n)
+                ys = yb + dy
+                xs = xb + dx
+
+                y0f = jnp.floor(ys)
+                x0f = jnp.floor(xs)
+                wy1 = ys - y0f
+                wx1 = xs - x0f
+                y0 = y0f.astype(jnp.int32)
+                x0 = x0f.astype(jnp.int32)
+
+                # Pack the 4 bilinear corners into ONE gather: indices
+                # (B, N, 4) -> (B, N*4). Weights carry the zeros-padding
+                # semantics (out-of-bounds corners contribute 0).
+                ws, idxs = [], []
+                for ddy, wy in ((0, 1.0 - wy1), (1, wy1)):
+                    for ddx, wx in ((0, 1.0 - wx1), (1, wx1)):
+                        yi = y0 + ddy
+                        xi = x0 + ddx
                         valid = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w))
-                        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-                        v = jnp.take_along_axis(
-                            xg_flat, idx.reshape(b, ho * wo, 1), axis=1
-                        ).reshape(b, ho, wo, cin_og)
-                        wgt = (wy * wx * valid.astype(dtype))[..., None]
-                        acc = v * wgt if acc is None else acc + v * wgt
-                if mask is not None:
-                    acc = acc * msk[..., g, t][..., None]
-                sampled_og.append(acc)
-            sampled = jnp.concatenate(sampled_og, axis=-1) if og > 1 else sampled_og[0]
-            # (B, Ho, Wo, Cin) x tap-weight (Cin/groups, Cout) -> MXU matmul.
+                        idxs.append(jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1))
+                        ws.append(wy * wx * valid.astype(dtype))
+                idx4 = jnp.stack(idxs, axis=-1).reshape(b, n * 4, 1)
+                wgt4 = jnp.stack(ws, axis=-1)  # (B, N, 4)
+                if msk is not None:
+                    wgt4 = wgt4 * msk[:, :, g, t][:, :, None]
+
+                xg = x[..., g * cin_og:(g + 1) * cin_og].reshape(b, h * w, cin_og)
+                v = jnp.take_along_axis(xg, idx4, axis=1).reshape(b, n, 4, cin_og)
+                # corner reduce (VPU): (B, N, 4, C) x (B, N, 4) -> (B, N, C)
+                per_og.append(jnp.einsum("bnqc,bnq->bnc", v, wgt4,
+                                         preferred_element_type=dtype,
+                                         precision=precision))
+            sampled = per_og[0] if og == 1 else jnp.concatenate(per_og, axis=-1)
+            # tap matmul (MXU): (B, N, Cin) x (Cin/g, Cout)
             if groups == 1:
-                out = out + jnp.einsum(
-                    "bhwc,co->bhwo", sampled, w_taps[i, j],
-                    preferred_element_type=dtype,
-                )
+                out = out + jnp.einsum("bnc,co->bno", sampled, weight[i, j],
+                                       preferred_element_type=dtype,
+                                       precision=precision)
             else:
                 cout_g = cout // groups
-                parts = []
-                for g in range(groups):
-                    sg = sampled[..., g * cin_g:(g + 1) * cin_g]
-                    wg = w_taps[i, j][:, g * cout_g:(g + 1) * cout_g]
-                    parts.append(jnp.einsum("bhwc,co->bhwo", sg, wg,
-                                            preferred_element_type=dtype))
+                parts = [
+                    jnp.einsum("bnc,co->bno",
+                               sampled[..., g * cin_g:(g + 1) * cin_g],
+                               weight[i, j][:, g * cout_g:(g + 1) * cout_g],
+                               preferred_element_type=dtype,
+                               precision=precision)
+                    for g in range(groups)
+                ]
                 out = out + jnp.concatenate(parts, axis=-1)
 
+    out = out.reshape(b, ho, wo, cout)
     if bias is not None:
         out = out + bias.astype(dtype)
     return out

@@ -1,0 +1,18 @@
+"""Device mesh + sharding helpers (the reference has no parallelism at all;
+this is a first-class TPU-native addition — SURVEY §2 parallelism table)."""
+
+from vfi_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+    spatial_sharding,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "spatial_sharding",
+]

@@ -1,0 +1,277 @@
+"""Training loop (jit'd step, DP mesh, checkpoints, metrics).
+
+Equivalent of the reference's `train.py` driver (reference: train.py:99-194)
+with the TPU-native upgrades the north star requires:
+
+- one jit'd, donated train step (fwd + loss + bwd + AdamW update) instead of
+  eager per-op dispatch;
+- data parallelism over a ('data','spatial') mesh: params replicated, batch
+  sharded — XLA inserts the gradient psum over ICI (the reference is
+  single-device);
+- prefetching threaded loader (the reference decodes PNGs on the training
+  thread, num_workers=0);
+- Orbax checkpoint/resume incl. optimizer/scheduler state (the reference
+  cannot resume), with the best-model save actually gated on val loss — the
+  reference's comparison is broken and saves every epoch (train.py:180-182);
+- per-epoch val PSNR/SSIM (the metrics the reference names but never
+  computes) and per-term loss breakdown;
+- per-epoch sample image dump, like train.py:138-152 (inverse-ImageNet
+  denormalized, clipped — including the reference's quirk of denormalizing
+  the model's already-[0,1] output).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfi_tpu.data import AugmentConfig, DataLoader, TripletDataset
+from vfi_tpu.losses import LossWeights, VGGPerceptualLoss, total_loss
+from vfi_tpu.models import EMAVFI
+from vfi_tpu.models.vgg import VGG16Features, LAYER_INDEX
+from vfi_tpu.parallel import batch_sharding, make_mesh, replicated, shard_batch
+from vfi_tpu.train.checkpoints import CheckpointManager
+from vfi_tpu.train.state import (PlateauScheduler, TrainState,
+                                 create_train_state, set_learning_rate)
+from vfi_tpu.utils.config import TrainConfig
+from vfi_tpu.utils.convert import load_params_npz
+from vfi_tpu.utils.metrics import psnr, ssim
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
+                    weights: LossWeights, soft_histogram: bool = False):
+    """Build the jit-able train step: (state, vgg_params, f0, ft, f1) ->
+    (state, metrics). vgg_params passed explicitly so its sharding is
+    controlled by the caller (not baked in as jit constants)."""
+
+    def vgg_loss_fn(vgg_params, a, b):
+        from vfi_tpu.ops.resize import resize_bilinear
+
+        a = resize_bilinear(a, (224, 224))
+        b = resize_bilinear(b, (224, 224))
+        mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 1, 1, 3).astype(a.dtype)
+        std = jnp.asarray(IMAGENET_STD).reshape(1, 1, 1, 3).astype(a.dtype)
+        fa = vgg_module.apply(vgg_params, (a - mean) / std)[vgg_layer_index]
+        fb = vgg_module.apply(vgg_params, (b - mean) / std)[vgg_layer_index]
+        return jnp.mean(jnp.abs(fa - fb))
+
+    def loss_fn(params, vgg_params, f0, ft, f1):
+        pred = model.apply(params, f0, f1)
+        vfn = partial(vgg_loss_fn, vgg_params) if vgg_module is not None else None
+        tot, terms = total_loss(pred, ft, vfn, weights,
+                                soft_histogram=soft_histogram)
+        return tot, terms
+
+    def train_step(state: TrainState, vgg_params, f0, ft, f1):
+        (tot, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, vgg_params, f0, ft, f1)
+        state = state.apply_gradients(grads)
+        metrics = {"loss": tot, **terms,
+                   "grad_norm": jnp.sqrt(sum(jnp.sum(g * g) for g in jax.tree.leaves(grads)))}
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
+                   weights: LossWeights, soft_histogram: bool = False):
+    """Val step: loss + prediction + PSNR/SSIM (vs the normalized target
+    un-normalized back to [0,1] space for the quality metrics)."""
+
+    train_step_builder = make_train_step(model, vgg_module, vgg_layer_index,
+                                         weights, soft_histogram)
+
+    def eval_step(params, vgg_params, f0, ft, f1):
+        pred = model.apply(params, f0, f1)
+        # loss in the training convention (pred [0,1] vs normalized target)
+        from vfi_tpu.ops.resize import resize_bilinear  # noqa: F401
+
+        tot, terms = total_loss(pred, ft, None, weights,
+                                soft_histogram=soft_histogram)
+        # quality metrics in [0,1] space
+        mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 1, 1, 3)
+        std = jnp.asarray(IMAGENET_STD).reshape(1, 1, 1, 3)
+        gt01 = jnp.clip(ft * std + mean, 0.0, 1.0)
+        return {"loss": tot, **terms,
+                "psnr": jnp.mean(psnr(pred, gt01)),
+                "ssim": jnp.mean(ssim(pred, gt01))}
+
+    del train_step_builder
+    return eval_step
+
+
+def denormalize_to_uint8(img01: np.ndarray) -> np.ndarray:
+    """The reference's sample-dump path (train.py:143-152): treat the [0,1]
+    output as if it were ImageNet-normalized, invert, clip, scale to u8."""
+    img = img01 * IMAGENET_STD + IMAGENET_MEAN
+    return (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+class Trainer:
+    """End-to-end training driver. `Trainer(config).run()`."""
+
+    def __init__(self, config: TrainConfig):
+        self.cfg = config
+        cfg = config
+        self.mesh = make_mesh(cfg.mesh.data, cfg.mesh.spatial)
+        dtype = jnp.bfloat16 if cfg.bf16 else None
+        self.model = EMAVFI(in_channels=cfg.in_channels,
+                            mid_channels=cfg.mid_channels,
+                            num_blocks=cfg.num_blocks, dtype=dtype)
+        self.vgg_layer_index = LAYER_INDEX[cfg.vgg_layer]
+        self.vgg_module = VGG16Features(max_stage=self.vgg_layer_index, dtype=dtype)
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        small = jnp.zeros((1, 64, 64, cfg.in_channels), jnp.float32)
+        params = self.model.init(rng, small, small)
+        if cfg.vgg_weights_path:
+            self.vgg_params = jax.tree.map(
+                jnp.asarray, load_params_npz(cfg.vgg_weights_path))
+        else:
+            self.vgg_params = self.vgg_module.init(
+                jax.random.PRNGKey(cfg.seed + 1), small)
+
+        self.state = create_train_state(params, cfg.learning_rate,
+                                        cfg.weight_decay, cfg.grad_clip_norm)
+        self.scheduler = PlateauScheduler(lr=cfg.learning_rate,
+                                          factor=cfg.plateau_factor,
+                                          patience=cfg.plateau_patience)
+        self.weights = LossWeights(
+            charbonnier=cfg.charbonnier_weight, vgg=cfg.vgg_weight,
+            color=cfg.color_weight, gradient=cfg.gradient_weight,
+            temporal=cfg.temporal_weight)
+
+        aug = AugmentConfig(
+            crop_size=tuple(cfg.crop_size), random_rotation=cfg.random_rotation,
+            horizontal_flip=cfg.horizontal_flip,
+            brightness=cfg.color_jitter.brightness if cfg.color_jitter else 0.0,
+            contrast=cfg.color_jitter.contrast if cfg.color_jitter else 0.0,
+            saturation=cfg.color_jitter.saturation if cfg.color_jitter else 0.0,
+            hue=cfg.color_jitter.hue if cfg.color_jitter else 0.0,
+            color_jitter=cfg.color_jitter is not None,
+            random_grayscale=cfg.random_grayscale,
+            consistent_jitter=cfg.consistent_jitter)
+        self.train_data = TripletDataset(cfg.train_data_dir, cfg.frame_interval, aug)
+        # NOTE: the reference augments val identically to train
+        # (train.py:53-59) making val loss noisy; we evaluate deterministic
+        # center-crop-free full frames cropped to crop_size for speed.
+        val_aug = AugmentConfig(crop_size=tuple(cfg.crop_size),
+                                random_rotation=False, horizontal_flip=False,
+                                color_jitter=False, random_grayscale=0.0)
+        self.val_data = TripletDataset(cfg.val_data_dir, cfg.frame_interval, val_aug)
+        self.train_loader = DataLoader(self.train_data, cfg.batch_size,
+                                       shuffle=True, seed=cfg.seed)
+        self.val_loader = DataLoader(self.val_data, cfg.batch_size,
+                                     shuffle=False, seed=cfg.seed, drop_last=False)
+
+        # jit with explicit shardings: state+vgg replicated, batch sharded.
+        rep = replicated(self.mesh)
+        bsh = batch_sharding(self.mesh)
+        raw_train = make_train_step(self.model, self.vgg_module,
+                                    self.vgg_layer_index, self.weights,
+                                    cfg.soft_histogram)
+        self.train_step = jax.jit(
+            raw_train,
+            in_shardings=(rep, rep, bsh, bsh, bsh),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,))
+        raw_eval = make_eval_step(self.model, self.vgg_module,
+                                  self.vgg_layer_index, self.weights,
+                                  cfg.soft_histogram)
+        self.eval_step = jax.jit(raw_eval,
+                                 in_shardings=(rep, rep, bsh, bsh, bsh),
+                                 out_shardings=rep)
+
+        self.ckpt = CheckpointManager(cfg.checkpoint_path, keep=cfg.keep_checkpoints)
+        self.start_epoch = 0
+        self.best_val = float("inf")
+        if cfg.resume and self.ckpt.latest_epoch() is not None:
+            self.state, last_epoch = self.ckpt.restore(self.state, self.scheduler)
+            self.start_epoch = last_epoch + 1
+            print(f"[vfi_tpu] resumed from epoch {last_epoch} "
+                  f"(step {int(self.state.step)}, lr {self.scheduler.lr:.6f})")
+
+        self.state = jax.device_put(self.state, rep)
+        self.vgg_params = jax.device_put(self.vgg_params, rep)
+        os.makedirs(cfg.output_image_path, exist_ok=True)
+
+    def _dump_sample(self, pred: jnp.ndarray, epoch: int) -> None:
+        from PIL import Image
+
+        img = denormalize_to_uint8(np.asarray(pred[0], np.float32))
+        Image.fromarray(img).save(
+            os.path.join(self.cfg.output_image_path,
+                         f"epoch_{epoch + 1}_generated.png"))
+
+    def run(self, num_epochs: Optional[int] = None,
+            log: Callable[[str], None] = print) -> dict:
+        cfg = self.cfg
+        num_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
+        profile_started = False
+        history = {"train_loss": [], "val_loss": [], "psnr": [], "ssim": []}
+        for epoch in range(self.start_epoch, num_epochs):
+            if cfg.profile_dir and not profile_started:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profile_started = True
+            # ---- train ----
+            t0 = time.time()
+            running, nb = 0.0, 0
+            self.train_loader.epoch = epoch
+            for i, (f0, ft, f1) in enumerate(self.train_loader):
+                batch = shard_batch((f0, ft, f1), self.mesh)
+                self.state, metrics = self.train_step(self.state, self.vgg_params, *batch)
+                running += float(metrics["loss"])
+                nb += 1
+                if i == 0:
+                    pred = self.model.apply(
+                        {"params": jax.tree.map(lambda x: x, self.state.params["params"])},
+                        batch[0][:1], batch[2][:1])
+                    self._dump_sample(np.asarray(pred), epoch)
+                if i % cfg.log_every == 0:
+                    terms = {k: round(float(v), 4) for k, v in metrics.items()}
+                    log(f"[epoch {epoch + 1}/{num_epochs}] step {i}/{len(self.train_loader)} {terms}")
+            train_loss = running / max(nb, 1)
+
+            # ---- validate ----
+            val_running, vp, vs, vn = 0.0, 0.0, 0.0, 0
+            for f0, ft, f1 in self.val_loader:
+                batch = shard_batch((f0, ft, f1), self.mesh)
+                m = self.eval_step(self.state.params, self.vgg_params, *batch)
+                val_running += float(m["loss"]); vp += float(m["psnr"])
+                vs += float(m["ssim"]); vn += 1
+            val_loss = val_running / max(vn, 1)
+            val_psnr, val_ssim = vp / max(vn, 1), vs / max(vn, 1)
+            dt = time.time() - t0
+            log(f"[epoch {epoch + 1}/{num_epochs}] train {train_loss:.4f} "
+                f"val {val_loss:.4f} PSNR {val_psnr:.2f} SSIM {val_ssim:.4f} "
+                f"lr {self.scheduler.lr:.6f} ({dt:.1f}s)")
+            history["train_loss"].append(train_loss)
+            history["val_loss"].append(val_loss)
+            history["psnr"].append(val_psnr)
+            history["ssim"].append(val_ssim)
+
+            # ---- best-model save (actually gated, unlike train.py:180-182) ----
+            if val_loss < self.best_val:
+                self.best_val = val_loss
+                from vfi_tpu.train.checkpoints import save_params_npz
+                save_params_npz(self.state.params, cfg.best_model_path + ".npz")
+                log(f"  new best val loss {val_loss:.4f} -> {cfg.best_model_path}.npz")
+
+            # ---- schedule + checkpoint ----
+            new_lr = self.scheduler.step(val_loss)
+            self.state = set_learning_rate(self.state, new_lr)
+            self.ckpt.save(epoch, self.state, self.scheduler,
+                           extra={"val_loss": val_loss, "best_val": self.best_val})
+        if profile_started:
+            jax.profiler.stop_trace()
+        self.ckpt.wait()
+        return history

@@ -1,0 +1,107 @@
+"""Train state + optimizer stack + ReduceLROnPlateau equivalent.
+
+Optimizer of record (reference: train.py:82,128): AdamW(lr, weight_decay
+1e-5) behind global-norm gradient clipping at 0.1, with a
+reduce-on-plateau schedule (factor 0.5, patience 5; train.py:84).
+
+TPU-first details:
+- the learning rate is an optax injected hyperparameter, so the host-side
+  plateau scheduler can update it between epochs without recompiling the
+  jit'd train step;
+- parameters stay float32; bf16 happens at activation compute inside the
+  model (mixed-precision policy).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    """Minimal jit-friendly train state (params + optimizer state + step)."""
+
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads: Any) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params,
+                            opt_state=new_opt_state)
+
+
+def make_optimizer(learning_rate: float, weight_decay: float = 1e-5,
+                   grad_clip_norm: float = 0.1) -> optax.GradientTransformation:
+    """clip_by_global_norm(0.1) -> AdamW, lr injected for runtime updates."""
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip_norm),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=learning_rate, weight_decay=weight_decay
+        ),
+    )
+
+
+def create_train_state(params: Any, learning_rate: float,
+                       weight_decay: float = 1e-5,
+                       grad_clip_norm: float = 0.1) -> TrainState:
+    tx = make_optimizer(learning_rate, weight_decay, grad_clip_norm)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params), tx=tx)
+
+
+def get_learning_rate(state: TrainState) -> float:
+    return float(state.opt_state[1].hyperparams["learning_rate"])
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Rewrite the injected lr inside opt_state (host-side, between epochs)."""
+    inner = state.opt_state[1]
+    hyper = dict(inner.hyperparams)
+    hyper["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    new_inner = inner._replace(hyperparams=hyper)
+    return state.replace(opt_state=(state.opt_state[0], new_inner))
+
+
+@dataclass
+class PlateauScheduler:
+    """Host-side ReduceLROnPlateau (torch semantics, mode='min').
+
+    `step(val_loss)` returns the new lr (possibly reduced). Matches the
+    reference's factor/patience config (train.py:84); min_lr/threshold are
+    torch defaults.
+    """
+
+    lr: float
+    factor: float = 0.5
+    patience: int = 5
+    threshold: float = 1e-4
+    min_lr: float = 0.0
+    best: float = float("inf")
+    num_bad: int = 0
+
+    def step(self, val_loss: float) -> float:
+        if val_loss < self.best * (1.0 - self.threshold):
+            self.best = val_loss
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.num_bad = 0
+        return self.lr
+
+    def state_dict(self) -> dict:
+        return {"lr": self.lr, "best": self.best, "num_bad": self.num_bad}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.lr = float(d["lr"])
+        self.best = float(d["best"])
+        self.num_bad = int(d["num_bad"])

@@ -1,0 +1,171 @@
+"""Typed configuration with YAML load + CLI overrides.
+
+The reference consumes one flat YAML via per-key `config.get(key, default)`
+with in-code fallbacks that silently disagree with the shipped file
+(reference: train.py:23-37 vs config/train_config.yaml; e.g. vgg 0.05 vs
+0.15) and two dead keys (`gradient_order`, `temporal_alpha`). Here the
+config is a frozen dataclass: every key is declared, defaults match the
+shipped YAML exactly, unknown keys fail loudly, and any field can be
+overridden from the command line as `--key value` (nested: `--color_jitter.hue
+0.3`).
+
+Reference YAML key names are kept verbatim so the reference's own
+train_config.yaml loads unmodified.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Optional, Sequence, Tuple
+
+import yaml
+
+
+@dataclass(frozen=True)
+class ColorJitterConfig:
+    """Augmentation jitter ranges (reference: train_config.yaml:29-33)."""
+
+    brightness: float = 0.2
+    contrast: float = 0.2
+    saturation: float = 0.2
+    hue: float = 0.1
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout (TPU addition; the reference is single-device).
+
+    axis sizes of -1 mean "all remaining devices on that axis".
+    """
+
+    data: int = -1      # data-parallel axis
+    spatial: int = 1    # spatial (H) sharding axis for huge frames
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    # Optimization (reference: train_config.yaml:1-3, train.py:82,128)
+    batch_size: int = 4
+    learning_rate: float = 5e-4
+    num_epochs: int = 100
+    weight_decay: float = 1e-5
+    grad_clip_norm: float = 0.1
+    # ReduceLROnPlateau equivalents (reference: train.py:84)
+    plateau_factor: float = 0.5
+    plateau_patience: int = 5
+
+    # Data (reference: train_config.yaml:4-5, 36-39)
+    train_data_dir: str = "data/processed/train"
+    val_data_dir: str = "data/processed/val"
+    crop_size: Tuple[int, int] = (256, 256)
+    random_rotation: bool = True
+    horizontal_flip: bool = True
+    random_grayscale: float = 0.2
+    color_jitter: Optional[ColorJitterConfig] = field(default_factory=ColorJitterConfig)
+    frame_interval: int = 1
+    # Fix for the reference's per-frame-independent jitter bug
+    # (data_utils.py:72-76): True = one jitter draw shared by the triplet.
+    consistent_jitter: bool = False
+
+    # Loss weights (reference: train_config.yaml:14-18)
+    charbonnier_weight: float = 0.5
+    vgg_weight: float = 0.15
+    color_weight: float = 0.3
+    gradient_weight: float = 0.1
+    temporal_weight: float = 0.15
+    vgg_layer: str = "relu2_2"  # reference: train.py:85
+    soft_histogram: bool = False  # differentiable histogram variant
+    # Dead keys in the reference (train_config.yaml:24-25) — accepted and
+    # ignored for YAML compatibility.
+    gradient_order: int = 1
+    temporal_alpha: float = 1.0
+
+    # Checkpointing / outputs (reference: train_config.yaml:7-8, 27)
+    checkpoint_path: str = "checkpoints"
+    best_model_path: str = "best_ema_vfi"
+    output_image_path: str = "output_images"
+    resume: bool = True            # addition: the reference cannot resume
+    keep_checkpoints: int = 3
+
+    # Model
+    in_channels: int = 3
+    mid_channels: int = 64
+    num_blocks: int = 3
+    vgg_weights_path: Optional[str] = None  # npz from convert_vgg16_torch
+
+    # TPU execution (additions)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    bf16: bool = True              # bfloat16 activation compute
+    seed: int = 0
+    log_every: int = 10
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+
+
+@dataclass(frozen=True)
+class InferConfig:
+    """Video interpolation settings (reference: inference.py:23-35)."""
+
+    input_video: str = ""
+    output_video: str = ""
+    model_path: str = "checkpoints/best"
+    target_fps: Optional[float] = None
+    max_interpolation_factor: int = 4
+    frame_interval: int = 1
+    codec: str = "mp4v"
+    scale: float = 0.5
+    batch_size: int = 8            # addition: batched pair inference
+    bf16: bool = True
+    # Reproduce the reference's output quirks (frame ordering, duplicated
+    # midpoints for factor>1, inverse-ImageNet denormalize) exactly.
+    reference_compat: bool = False
+
+
+def _from_dict(cls, data: dict, path: str = ""):
+    """Build a (possibly nested) dataclass from a dict, failing on unknown
+    keys and coercing list -> tuple where the field demands it."""
+    names = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, value in data.items():
+        if key not in names:
+            raise KeyError(f"Unknown config key: {path}{key!r}")
+        f = names[key]
+        if f.name == "color_jitter" and isinstance(value, dict):
+            value = _from_dict(ColorJitterConfig, value, path=f"{key}.")
+        elif f.name == "mesh" and isinstance(value, dict):
+            value = _from_dict(MeshConfig, value, path=f"{key}.")
+        elif isinstance(value, list):
+            value = tuple(value)
+        kwargs[key] = value
+    return cls(**kwargs)
+
+
+def load_train_config(
+    yaml_path: Optional[str | Path] = None,
+    overrides: Optional[Sequence[str]] = None,
+) -> TrainConfig:
+    """Load a TrainConfig from YAML (optional) + `--key value` CLI overrides.
+
+    `overrides` is a flat argv-style list, e.g.
+    ``["--batch_size", "16", "--color_jitter.hue", "0.3"]``.
+    """
+    data: dict[str, Any] = {}
+    if yaml_path is not None:
+        with open(yaml_path, "r", encoding="utf-8") as f:
+            data = yaml.safe_load(f) or {}
+    if overrides:
+        if len(overrides) % 2 != 0:
+            raise ValueError(f"Overrides must be --key value pairs, got {overrides}")
+        for i in range(0, len(overrides), 2):
+            key = overrides[i]
+            if not key.startswith("--"):
+                raise ValueError(f"Override keys must start with '--': {key}")
+            node = data
+            *parents, leaf = key[2:].split(".")
+            for p in parents:
+                node = node.setdefault(p, {})
+                if not isinstance(node, dict):
+                    raise ValueError(f"Cannot nest override under scalar key {p!r}")
+            node[leaf] = yaml.safe_load(overrides[i + 1])
+    return _from_dict(TrainConfig, data)
