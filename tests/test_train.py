@@ -68,13 +68,16 @@ def test_tiny_overfit_loss_decreases(rng):
                           gradient=0.1, temporal=0.0)
     step = jax.jit(make_train_step(model, None, 0, weights), donate_argnums=0)
 
-    state = create_train_state(params, 2e-3)
-    f0 = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
-    f1 = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    state = create_train_state(params, 5e-3)
+    # smooth targets (random noise at 16x16 is unlearnable in few steps)
+    yy, xx = np.meshgrid(np.linspace(0, 1, 16), np.linspace(0, 1, 16), indexing="ij")
+    base = np.stack([yy, xx, yy * xx], -1).astype(np.float32)[None]
+    f0 = jnp.asarray(np.concatenate([base, 1.0 - base]))
+    f1 = jnp.asarray(np.concatenate([1.0 - base, base]))
     ft = (f0 + f1) / 2.0
 
     first = None
-    for i in range(30):
+    for i in range(60):
         state, metrics = step(state, None, f0, ft, f1)
         if i == 0:
             first = float(metrics["loss"])

@@ -39,8 +39,8 @@ def deform_conv2d_torch(x, offset, mask, weight, bias, stride=1, padding=1):
     for i in range(kh):
         for j in range(kw):
             t = i * kw + j
-            ys = (ys_base + i).reshape(1, n) + off[:, t, 0]
-            xs = (xs_base + j).reshape(1, n) + off[:, t, 1]
+            ys = (ys_base + i).expand(ho, wo).reshape(1, n) + off[:, t, 0]
+            xs = (xs_base + j).expand(ho, wo).reshape(1, n) + off[:, t, 1]
             y0 = torch.floor(ys)
             x0 = torch.floor(xs)
             wy1 = ys - y0

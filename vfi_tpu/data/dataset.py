@@ -29,7 +29,18 @@ _EXTS = (".png", ".jpg", ".jpeg")
 
 
 def load_image(path: str) -> np.ndarray:
-    """Decode to (H, W, 3) float32 RGB in [0, 1]."""
+    """Decode to (H, W, 3) float32 RGB in [0, 1].
+
+    PNGs go through the native C++ decoder (vfi_tpu.native) when available;
+    anything it can't handle (or other formats) falls back to PIL."""
+    if path.lower().endswith(".png"):
+        from vfi_tpu import native
+
+        with open(path, "rb") as f:
+            data = f.read()
+        img = native.decode_png_rgb(data)
+        if img is not None:
+            return img.astype(np.float32) / 255.0
     with Image.open(path) as im:
         return np.asarray(im.convert("RGB"), np.float32) / 255.0
 

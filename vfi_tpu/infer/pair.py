@@ -84,10 +84,20 @@ class FrameInterpolator:
     def midpoints(self, f0: np.ndarray, f1: np.ndarray) -> jnp.ndarray:
         """Predict the temporal midpoint of each pair.
 
+        Batches not divisible by the 'data' mesh axis are padded (replicating
+        the last pair) and sliced back — shardings stay static under jit.
+
         Args: f0, f1: (B, H, W, 3) float32 in [0, 1].
         Returns: (B, H, W, 3) in [0, 1] (device array).
         """
-        return self._fwd(self.params, jnp.asarray(f0), jnp.asarray(f1))
+        b = f0.shape[0]
+        d = self.mesh.shape["data"]
+        pad = (-b) % d
+        if pad:
+            f0 = np.concatenate([f0, np.repeat(f0[-1:], pad, axis=0)])
+            f1 = np.concatenate([f1, np.repeat(f1[-1:], pad, axis=0)])
+        out = self._fwd(self.params, jnp.asarray(f0), jnp.asarray(f1))
+        return out[:b] if pad else out
 
     def recursive(self, f0: np.ndarray, f1: np.ndarray, factor: int) -> list[jnp.ndarray]:
         """Insert `factor` frames between each pair.

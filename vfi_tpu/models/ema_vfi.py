@@ -48,6 +48,13 @@ class EMAVFI(nn.Module):
     mid_channels: int = 64
     num_blocks: int = 3
     dtype: Optional[Any] = None
+    # TPU fast path for the fusion DCNs: clamp learned offsets to [-R, R]
+    # pixels and sample gather-free (ops/deform_conv_shifts.py). None keeps
+    # the exact unbounded torchvision semantics (needed for converted-
+    # checkpoint parity; ~10x slower on TPU). Trained offsets in this
+    # architecture are zero-initialized and stay small, so a modest R is
+    # numerically identical in practice.
+    dcn_max_offset: Optional[int] = None
 
     @nn.compact
     def __call__(self, frame1: jnp.ndarray, frame2: jnp.ndarray) -> jnp.ndarray:
@@ -93,7 +100,9 @@ class EMAVFI(nn.Module):
         fused = jnp.concatenate([feat, warped2], axis=-1)
         fused_ch = m + self.in_channels
         for i in range(self.num_blocks):
-            fused = ModulatedDeformConv(fused_ch, dtype=dt, name=f"fusion_dcn{i}")(fused)
+            fused = ModulatedDeformConv(fused_ch, dtype=dt,
+                                        max_offset=self.dcn_max_offset,
+                                        name=f"fusion_dcn{i}")(fused)
 
         # 6. Reconstruction head -> [0, 1] frame.
         out = ConvBlock(m, dtype=dt, name="rec_conv1")(fused)

@@ -23,6 +23,7 @@ import numpy as np
 from flax import linen as nn
 
 from vfi_tpu.ops.deform_conv import deform_conv2d
+from vfi_tpu.ops.deform_conv_shifts import deform_conv2d_shifts
 
 Dtype = Any
 
@@ -115,6 +116,10 @@ class ModulatedDeformConv(nn.Module):
     offset_groups: int = 1
     use_bias: bool = True
     dtype: Optional[Dtype] = None
+    # TPU fast path: clamp offsets to [-R, R] and use the gather-free
+    # shift-decomposition kernel (ops/deform_conv_shifts.py). None = exact
+    # unbounded sampling via the gather op (parity mode; much slower on TPU).
+    max_offset: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -148,6 +153,13 @@ class ModulatedDeformConv(nn.Module):
             else None
         )
         dtype = self.dtype or x.dtype
+        if (self.max_offset is not None and self.stride == 1
+                and self.dilation == 1 and self.offset_groups == 1):
+            return deform_conv2d_shifts(
+                x.astype(dtype), offset.astype(dtype), mask.astype(dtype),
+                weight.astype(dtype),
+                bias.astype(dtype) if bias is not None else None,
+                max_offset=self.max_offset, padding=self.padding)
         return deform_conv2d(
             x.astype(dtype),
             offset.astype(dtype),

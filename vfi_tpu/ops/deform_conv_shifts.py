@@ -1,0 +1,98 @@
+"""Gather-free modulated deformable conv (bounded offsets) — TPU fast path.
+
+TPU has no fast random-access gather: XLA lowers per-pixel fractional
+sampling to scalarized row gathers that dominate the whole model's runtime
+(measured ~450 ms per 67-channel DCN layer at 640x480 on v5e). This
+implementation removes gathers entirely by exploiting that bilinear
+sampling at a *bounded* displacement is a small dense sum:
+
+    sample(x, p + d)  =  sum_{s in [-R..R]^2}  tri(d_y - s_y) tri(d_x - s_x) x[p + s]
+
+where tri(v) = max(0, 1 - |v|) is nonzero for at most 2 integers per axis.
+With offsets clamped to [-R, R], every tap becomes (2R+1)^2 statically
+shifted reads of the feature map weighted on the VPU, followed by one MXU
+matmul per kernel tap — no gather HLOs, fully fusable, layout-friendly.
+
+Semantics: identical to `deform_conv2d` (torchvision DCNv2,
+reference src/models/ema_vfi.py:45-60) whenever every learned offset lies in
+[-R, R]; larger offsets saturate at R (the exact op is the fallback for
+unbounded parity). Zero-padding boundary semantics are preserved via an
+explicit pad. Differentiable in x / offset / mask / weight / bias (clamp has
+the usual saturating subgradient).
+
+Supported config (the flagship model's): stride 1, dilation 1, one offset
+group, one weight group. Anything else should use `deform_conv2d`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def deform_conv2d_shifts(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    weight: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    max_offset: int = 3,
+    padding: int = 1,
+    precision=None,
+) -> jnp.ndarray:
+    """DCNv2 with offsets clamped to [-max_offset, max_offset], NHWC.
+
+    Args:
+      x: (B, H, W, Cin)
+      offset: (B, H, W, 2*kh*kw) torchvision layout (dy, dx per tap).
+      mask: (B, H, W, kh*kw) or None.
+      weight: (kh, kw, Cin, Cout).
+      bias: (Cout,) or None.
+      max_offset: R — clamp radius in pixels.
+    Returns: (B, H, W, Cout) (stride 1, 'same' spatial size).
+    """
+    b, h, w, cin = x.shape
+    kh, kw, cin_g, cout = weight.shape
+    if cin_g != cin:
+        raise ValueError("deform_conv2d_shifts supports groups == 1 only")
+    n_taps = kh * kw
+    if offset.shape[-1] != 2 * n_taps:
+        raise ValueError("deform_conv2d_shifts supports one offset group only")
+    R = int(max_offset)
+    dtype = x.dtype
+
+    # Halo: tap anchor (i - padding) in [-padding, kh-1-padding] plus clamped
+    # offset in [-R, R] -> absolute integer shifts in [-padding-R, kh-1-padding+R].
+    m_lo = padding + R
+    m_hi = (kh - 1 - padding) + R
+    xp = jnp.pad(x, ((0, 0), (m_lo, m_hi), (m_lo, m_hi), (0, 0)))
+
+    off = offset.reshape(b, h, w, n_taps, 2)
+    msk = None if mask is None else mask.reshape(b, h, w, n_taps)
+
+    out = jnp.zeros((b, h, w, cout), dtype)
+    for i in range(kh):
+        for j in range(kw):
+            t = i * kw + j
+            # total displacement of this tap relative to the output pixel
+            ty = jnp.clip(off[..., t, 0], -R, R) + (i - padding)
+            tx = jnp.clip(off[..., t, 1], -R, R) + (j - padding)
+            acc = None
+            for vy in range(i - padding - R, i - padding + R + 1):
+                ay = jnp.clip(1.0 - jnp.abs(ty - vy), 0.0, 1.0)
+                for vx in range(j - padding - R, j - padding + R + 1):
+                    ax = jnp.clip(1.0 - jnp.abs(tx - vx), 0.0, 1.0)
+                    wgt = (ay * ax).astype(dtype)
+                    if msk is not None:
+                        wgt = wgt * msk[..., t]
+                    xs = xp[:, m_lo + vy:m_lo + vy + h,
+                            m_lo + vx:m_lo + vx + w, :]
+                    term = wgt[..., None] * xs
+                    acc = term if acc is None else acc + term
+            out = out + jnp.einsum("bhwc,co->bhwo", acc, weight[i, j],
+                                   preferred_element_type=dtype,
+                                   precision=precision)
+    if bias is not None:
+        out = out + bias.astype(dtype)
+    return out

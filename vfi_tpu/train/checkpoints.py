@@ -33,14 +33,17 @@ class CheckpointManager:
 
     def save(self, epoch: int, state: TrainState, scheduler: PlateauScheduler,
              extra: Optional[dict] = None) -> None:
+        extra = extra or {}
         payload = {
             "params": state.params,
             "opt_state": state.opt_state,
             "step": state.step,
+            # fixed meta schema so restore templates always match
             "meta": {
                 "epoch": epoch,
                 "scheduler": scheduler.state_dict(),
-                **(extra or {}),
+                "val_loss": float(extra.get("val_loss", float("nan"))),
+                "best_val": float(extra.get("best_val", float("nan"))),
             },
         }
         self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
@@ -58,7 +61,8 @@ class CheckpointManager:
             "params": state.params,
             "opt_state": state.opt_state,
             "step": state.step,
-            "meta": {"epoch": 0, "scheduler": scheduler.state_dict()},
+            "meta": {"epoch": 0, "scheduler": scheduler.state_dict(),
+                     "val_loss": 0.0, "best_val": 0.0},
         }
         restored = self._mgr.restore(epoch, args=ocp.args.StandardRestore(template))
         scheduler.load_state_dict(restored["meta"]["scheduler"])
