@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # PyTorch reference on this host's CPU, 720p single pair, fp32 (measured via
 # tools/measure_reference_cpu.py; see BASELINE.md "CPU baseline" section).
-CPU_BASELINE_FPS = 0.145
+CPU_BASELINE_FPS = 0.0238
 
 
 def main() -> int:

@@ -94,3 +94,56 @@ def test_video_roundtrip(tiny_interp, tmp_path):
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 2 * n - 1
     assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == int(w * 0.25)
     cap.release()
+
+
+def test_eval_cli_end_to_end(tmp_path, rng):
+    """Full eval harness over a synthetic scene dir with a tiny checkpoint
+    (BASELINE config 2 shape)."""
+    from PIL import Image
+
+    from vfi_tpu.cli.eval import main as eval_main
+    from vfi_tpu.models import EMAVFI
+    from vfi_tpu.utils.convert import save_params_npz
+
+    scene = tmp_path / "data" / "sceneA"
+    scene.mkdir(parents=True)
+    for i in range(4):
+        img = (rng.uniform(0, 255, (16, 16, 3))).astype(np.uint8)
+        Image.fromarray(img).save(scene / f"f{i}.png")
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    ckpt = str(tmp_path / "m.npz")
+    save_params_npz(jax.tree.map(np.asarray, params), ckpt)
+
+    rc = eval_main(["--data-dir", str(tmp_path / "data"),
+                    "--model_path", ckpt, "--fp32", "--json"])
+    assert rc == 0
+
+
+def test_infer_two_frame_cli(tmp_path, rng):
+    """BASELINE config 1: two images in, midpoint PNG out, via the CLI."""
+    from PIL import Image
+
+    from vfi_tpu.cli.infer import main as infer_main
+    from vfi_tpu.models import EMAVFI
+    from vfi_tpu.utils.convert import save_params_npz
+
+    a = tmp_path / "a.png"
+    b = tmp_path / "b.png"
+    Image.fromarray(rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)).save(a)
+    Image.fromarray(rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)).save(b)
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    ckpt = str(tmp_path / "m.npz")
+    save_params_npz(jax.tree.map(np.asarray, params), ckpt)
+
+    out = tmp_path / "mid.png"
+    rc = infer_main(["two-frame", "--frame0", str(a), "--frame1", str(b),
+                     "--output", str(out), "--model_path", ckpt, "--fp32"])
+    assert rc == 0
+    mid = np.asarray(Image.open(out))
+    assert mid.shape == (16, 16, 3)

@@ -141,3 +141,42 @@ def test_zero_init_offsets_at_init(tiny_model_and_params):
     off = params["params"]["fusion_dcn0"]["offset_conv"]
     assert float(jnp.abs(off["kernel"]).max()) == 0.0
     assert float(jnp.abs(off["bias"]).max()) == 0.0
+
+
+def test_flownet_shapes_and_zero_flow_identity(rng):
+    """SimpleFlowNet output contract + a sanity property: identical frames
+    admit flow ~ learnable; shapes/dtypes must be exact."""
+    from vfi_tpu.models.flownet import SimpleFlowNet
+
+    model = SimpleFlowNet(mid_channels=8, levels=2)
+    f0 = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    f1 = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), f0, f1)
+    flow = jax.jit(model.apply)(params, f0, f1)
+    assert flow.shape == (2, 16, 16, 2)
+    assert flow.dtype == jnp.float32
+    assert np.isfinite(np.asarray(flow)).all()
+
+
+def test_temporal_loss_with_flownet(rng):
+    """The full 5-term objective is trainable with SimpleFlowNet plugged in
+    (the reference never could: estimator missing, train.py:72-80)."""
+    from functools import partial
+
+    from vfi_tpu.losses import LossWeights, total_loss
+    from vfi_tpu.models.flownet import SimpleFlowNet
+
+    model = SimpleFlowNet(mid_channels=8, levels=2)
+    f0 = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    f1 = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    pred = (f0 + f1) / 2
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), f0, f1)
+
+    def flow_fn(a, b):
+        return model.apply(params, a, b)
+
+    w = LossWeights(vgg=0.0, temporal=0.15)
+    tot, terms = total_loss(pred, pred, None, w, flow_estimator=flow_fn,
+                            frame0=f0, frame1=f1)
+    assert "temporal" in terms
+    assert np.isfinite(float(tot))

@@ -80,3 +80,32 @@ def test_data_parallel_train_step_runs_and_matches_single_device(rng):
     lp = jax.tree.leaves(statep.params)
     for a, b in zip(l1, lp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_spatially_sharded_forward_matches_single_device(rng):
+    """H-sharded inference (the 1080p/4K spatial mode): jit over a
+    ('data','spatial') mesh must reproduce single-device outputs — XLA
+    materializes the conv/shift halo exchanges from the sharding alone."""
+    import jax
+    import jax.numpy as jnp
+
+    from vfi_tpu.models import EMAVFI
+    from vfi_tpu.parallel import make_mesh, replicated, spatial_sharding
+
+    model = EMAVFI(mid_channels=8, num_blocks=1, dcn_max_offset=2,
+                   warp_max_flow=4)
+    x0 = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x0, x0)
+
+    f0 = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    f1 = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    single = jax.jit(model.apply)(params, f0, f1)
+
+    mesh = make_mesh(data=2, spatial=4)
+    rep = replicated(mesh)
+    ssh = spatial_sharding(mesh)
+    fwd = jax.jit(model.apply, in_shardings=(rep, ssh, ssh), out_shardings=ssh)
+    sharded = fwd(jax.device_put(params, rep), jax.device_put(f0, ssh),
+                  jax.device_put(f1, ssh))
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=2e-4, atol=2e-5)

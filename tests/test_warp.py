@@ -98,3 +98,17 @@ def test_integer_flow_shifts(rng):
     np.testing.assert_allclose(out[:, :, :-1], img[:, :, 1:], rtol=1e-6, atol=1e-6)
     # last column sampled out of bounds -> zeros
     np.testing.assert_allclose(out[:, :, -1], 0.0, atol=1e-6)
+
+
+def test_warp_bf16_large_coordinates(rng):
+    """Regression: coordinate math must be f32 — bf16 cannot represent
+    integers > 256, which shifted samples by whole pixels at H/W > 256."""
+    h, w = 8, 512
+    img = rng.uniform(0, 1, (1, h, w, 2)).astype(np.float32)
+    flow = np.zeros((1, h, w, 2), np.float32)
+    flow[..., 0] = 0.5  # half-pixel x shift
+    out16 = warp(jnp.asarray(img, jnp.bfloat16), jnp.asarray(flow, jnp.bfloat16))
+    out32 = warp(jnp.asarray(img), jnp.asarray(flow))
+    # bf16 data tolerance, but NOT whole-pixel errors in the far columns
+    np.testing.assert_allclose(np.asarray(out16, np.float32)[:, :, 300:500],
+                               np.asarray(out32)[:, :, 300:500], atol=0.02)

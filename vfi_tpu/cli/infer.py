@@ -38,6 +38,13 @@ def main(argv=None) -> int:
                      help="bit-for-bit reproduce the reference CLI's output "
                           "quirks (BGR stats, trailing originals, duplicated "
                           "midpoints)")
+    for p in (two, vid):
+        p.add_argument("--dcn_max_offset", type=int, default=None,
+                       help="bounded-offset fast DCN sampling radius (px)")
+        p.add_argument("--warp_max_flow", type=int, default=None,
+                       help="bounded warp flow radius (px)")
+        p.add_argument("--use_pallas", action="store_true",
+                       help="fused Pallas kernels for bounded sampling")
     args = parser.parse_args(argv)
 
     from vfi_tpu.cli.common import load_model_params, setup
@@ -56,14 +63,20 @@ def main(argv=None) -> int:
                 img = img.resize((args.size[1], args.size[0]), Image.BILINEAR)
             return np.asarray(img, np.float32)[None] / 255.0
 
-        interp = FrameInterpolator(params, bf16=not args.fp32)
+        interp = FrameInterpolator(params, bf16=not args.fp32,
+                                   dcn_max_offset=args.dcn_max_offset,
+                                   warp_max_flow=args.warp_max_flow,
+                                   use_pallas=args.use_pallas)
         mid = np.asarray(interp.midpoints(load(args.frame0), load(args.frame1)))[0]
         Image.fromarray((np.clip(mid, 0, 1) * 255).astype(np.uint8)).save(args.output)
         print(f"wrote {args.output}")
         return 0
 
     interp = FrameInterpolator(params, bf16=not args.fp32,
-                               reference_compat=args.reference_compat)
+                               reference_compat=args.reference_compat,
+                               dcn_max_offset=args.dcn_max_offset,
+                               warp_max_flow=args.warp_max_flow,
+                               use_pallas=args.use_pallas)
     from vfi_tpu.infer.video import interpolate_video
 
     stats = interpolate_video(

@@ -60,12 +60,23 @@ class FrameInterpolator:
         ('data',) mesh over all visible devices.
     """
 
-    def __init__(self, params, in_channels: int = 3, mid_channels: int = 64,
-                 num_blocks: int = 3, bf16: bool = True, mesh=None,
-                 reference_compat: bool = False):
-        self.model = EMAVFI(in_channels=in_channels, mid_channels=mid_channels,
-                            num_blocks=num_blocks,
-                            dtype=jnp.bfloat16 if bf16 else None)
+    def __init__(self, params, in_channels: Optional[int] = None,
+                 mid_channels: Optional[int] = None,
+                 num_blocks: Optional[int] = None, bf16: bool = True,
+                 mesh=None, reference_compat: bool = False,
+                 dcn_max_offset: Optional[int] = None,
+                 warp_max_flow: Optional[int] = None,
+                 use_pallas: bool = False):
+        from vfi_tpu.utils.convert import infer_model_dims
+
+        dims = infer_model_dims(params)
+        self.model = EMAVFI(
+            in_channels=in_channels if in_channels is not None else dims["in_channels"],
+            mid_channels=mid_channels if mid_channels is not None else dims["mid_channels"],
+            num_blocks=num_blocks if num_blocks is not None else dims["num_blocks"],
+            dtype=jnp.bfloat16 if bf16 else None,
+            dcn_max_offset=dcn_max_offset, warp_max_flow=warp_max_flow,
+            use_pallas=use_pallas)
         self.mesh = mesh if mesh is not None else make_mesh()
         self.reference_compat = reference_compat
         rep = replicated(self.mesh)

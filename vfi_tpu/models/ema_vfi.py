@@ -55,6 +55,12 @@ class EMAVFI(nn.Module):
     # architecture are zero-initialized and stay small, so a modest R is
     # numerically identical in practice.
     dcn_max_offset: Optional[int] = None
+    # Bound the backward-warp flow to [-R, R] px and use the fused Pallas
+    # warp. None = exact unbounded grid_sample-style warp.
+    warp_max_flow: Optional[int] = None
+    # Run bounded sampling through the Pallas kernels (fused, single HBM
+    # read) instead of the XLA shift decomposition. Same numerics.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, frame1: jnp.ndarray, frame2: jnp.ndarray) -> jnp.ndarray:
@@ -94,7 +100,15 @@ class EMAVFI(nn.Module):
 
         # 4. Backward-warp frame2 (RGB) by the flow; bilinear, zeros padding,
         #    align_corners=True semantics.
-        warped2 = warp(f2, flow, mode="bilinear")
+        if self.warp_max_flow is not None and self.use_pallas:
+            from vfi_tpu.ops.pallas.wrappers import warp_fast
+
+            warped2 = warp_fast(f2, flow, self.warp_max_flow)
+        elif self.warp_max_flow is not None:
+            warped2 = warp(f2, jnp.clip(flow, -self.warp_max_flow,
+                                        self.warp_max_flow), mode="bilinear")
+        else:
+            warped2 = warp(f2, flow, mode="bilinear")
 
         # 5. Fusion: deformable conv stack over cat(features, warped frame).
         fused = jnp.concatenate([feat, warped2], axis=-1)
@@ -102,6 +116,7 @@ class EMAVFI(nn.Module):
         for i in range(self.num_blocks):
             fused = ModulatedDeformConv(fused_ch, dtype=dt,
                                         max_offset=self.dcn_max_offset,
+                                        use_pallas=self.use_pallas,
                                         name=f"fusion_dcn{i}")(fused)
 
         # 6. Reconstruction head -> [0, 1] frame.

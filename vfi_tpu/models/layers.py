@@ -120,6 +120,10 @@ class ModulatedDeformConv(nn.Module):
     # shift-decomposition kernel (ops/deform_conv_shifts.py). None = exact
     # unbounded sampling via the gather op (parity mode; much slower on TPU).
     max_offset: Optional[int] = None
+    # With max_offset set: run the fused Pallas kernel (custom_vjp; forward
+    # in ops/pallas/sampling.py, backward via the XLA shifts op). Identical
+    # numerics to the shifts op; single HBM read of x per layer.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -155,6 +159,14 @@ class ModulatedDeformConv(nn.Module):
         dtype = self.dtype or x.dtype
         if (self.max_offset is not None and self.stride == 1
                 and self.dilation == 1 and self.offset_groups == 1):
+            if self.use_pallas:
+                from vfi_tpu.ops.pallas.wrappers import deform_conv2d_fast
+
+                return deform_conv2d_fast(
+                    x.astype(dtype), offset.astype(dtype), mask.astype(dtype),
+                    weight.astype(dtype),
+                    bias.astype(dtype) if bias is not None else None,
+                    self.max_offset)
             return deform_conv2d_shifts(
                 x.astype(dtype), offset.astype(dtype), mask.astype(dtype),
                 weight.astype(dtype),

@@ -82,11 +82,12 @@ def deform_conv2d(
         raise ValueError(f"offset spatial shape {offset.shape[1:3]} != ({ho}, {wo})")
 
     dtype = x.dtype
-    # Base sampling positions of each output pixel (top-left tap anchor).
-    ybase = (jnp.arange(ho, dtype=dtype) * sh - ph)[:, None]  # (Ho, 1)
-    xbase = (jnp.arange(wo, dtype=dtype) * sw - pw)[None, :]  # (1, Wo)
+    # Coordinate math is always f32: bf16 cannot represent integers > 256,
+    # so bf16 base coordinates would round whole pixels at H/W > 256.
+    ybase = (jnp.arange(ho, dtype=jnp.float32) * sh - ph)[:, None]  # (Ho, 1)
+    xbase = (jnp.arange(wo, dtype=jnp.float32) * sw - pw)[None, :]  # (1, Wo)
 
-    off = offset.reshape(b, n, og, n_taps, 2)
+    off = offset.astype(jnp.float32).reshape(b, n, og, n_taps, 2)
     msk = None if mask is None else mask.reshape(b, n, og, n_taps)
 
     out = jnp.zeros((b, n, cout), dtype)
@@ -120,7 +121,7 @@ def deform_conv2d(
                         xi = x0 + ddx
                         valid = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w))
                         idxs.append(jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1))
-                        ws.append(wy * wx * valid.astype(dtype))
+                        ws.append((wy * wx * valid.astype(jnp.float32)).astype(dtype))
                 idx4 = jnp.stack(idxs, axis=-1).reshape(b, n * 4, 1)
                 wgt4 = jnp.stack(ws, axis=-1)  # (B, N, 4)
                 if msk is not None:

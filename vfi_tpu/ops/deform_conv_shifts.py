@@ -76,8 +76,9 @@ def deform_conv2d_shifts(
         for j in range(kw):
             t = i * kw + j
             # total displacement of this tap relative to the output pixel
-            ty = jnp.clip(off[..., t, 0], -R, R) + (i - padding)
-            tx = jnp.clip(off[..., t, 1], -R, R) + (j - padding)
+            # (weight math in f32 for bf16 inputs)
+            ty = jnp.clip(off[..., t, 0].astype(jnp.float32), -R, R) + (i - padding)
+            tx = jnp.clip(off[..., t, 1].astype(jnp.float32), -R, R) + (j - padding)
             acc = None
             for vy in range(i - padding - R, i - padding + R + 1):
                 ay = jnp.clip(1.0 - jnp.abs(ty - vy), 0.0, 1.0)

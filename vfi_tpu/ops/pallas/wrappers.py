@@ -1,0 +1,78 @@
+"""Differentiable wrappers over the Pallas sampling kernels.
+
+The Pallas kernels are forward-only; `deform_conv2d_shifts` computes the
+exact same function (bounded shift decomposition) in differentiable XLA. The
+custom_vjp below runs the Pallas kernel on the forward pass and takes the
+backward pass through the XLA formulation — numerics agree because the two
+forwards are the same function, so cotangents are consistent.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vfi_tpu.ops.deform_conv_shifts import deform_conv2d_shifts
+from vfi_tpu.ops.pallas.sampling import bounded_warp_pallas, deform_conv2d_pallas
+from vfi_tpu.ops.warp import warp as warp_xla
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def deform_conv2d_fast(x, offset, mask, weight, bias, max_offset: int = 3):
+    """DCNv2 with bounded offsets: Pallas forward, differentiable backward.
+
+    Same contract as `deform_conv2d_shifts` (NHWC, stride 1, og=1, groups=1).
+    """
+    return deform_conv2d_pallas(x, offset, mask, weight, bias,
+                                max_offset=max_offset)
+
+
+def _dcn_fwd(x, offset, mask, weight, bias, max_offset):
+    out = deform_conv2d_pallas(x, offset, mask, weight, bias,
+                               max_offset=max_offset)
+    return out, (x, offset, mask, weight, bias)
+
+
+def _dcn_bwd(max_offset, res, g):
+    x, offset, mask, weight, bias = res
+
+    def f(x_, o_, m_, w_, b_):
+        return deform_conv2d_shifts(x_, o_, m_, w_, b_, max_offset=max_offset)
+
+    _, vjp = jax.vjp(f, x, offset, mask, weight,
+                     bias if bias is not None else jnp.zeros(weight.shape[-1], x.dtype))
+    dx, doff, dmask, dw, db = vjp(g)
+    return (dx, doff, dmask if mask is not None else None, dw,
+            db if bias is not None else None)
+
+
+deform_conv2d_fast.defvjp(_dcn_fwd, _dcn_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def warp_fast(image, flow, max_flow: int = 16):
+    """Bounded backward warp: Pallas forward, XLA-gather backward.
+
+    Matches `ops.warp(image, clip(flow, -R, R))`.
+    """
+    return bounded_warp_pallas(image, flow, max_flow=max_flow)
+
+
+def _warp_fwd(image, flow, max_flow):
+    return bounded_warp_pallas(image, flow, max_flow=max_flow), (image, flow)
+
+
+def _warp_bwd(max_flow, res, g):
+    image, flow = res
+
+    def f(im, fl):
+        return warp_xla(im, jnp.clip(fl, -max_flow, max_flow))
+
+    _, vjp = jax.vjp(f, image, flow)
+    return vjp(g)
+
+
+warp_fast.defvjp(_warp_fwd, _warp_bwd)

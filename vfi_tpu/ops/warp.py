@@ -56,6 +56,10 @@ def bilinear_sample(image: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp
     h, w, _ = image.shape
     dtype = image.dtype
 
+    # Coordinate math in f32: bf16 coordinates round whole pixels at
+    # positions > 256 (8-bit mantissa).
+    xs = xs.astype(jnp.float32)
+    ys = ys.astype(jnp.float32)
     x0f = jnp.floor(xs)
     y0f = jnp.floor(ys)
     x0 = x0f.astype(jnp.int32)
@@ -96,8 +100,8 @@ def nearest_sample(image: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.
     """
     h, w, _ = image.shape
     dtype = image.dtype
-    xi = jnp.round(xs).astype(jnp.int32)
-    yi = jnp.round(ys).astype(jnp.int32)
+    xi = jnp.round(xs.astype(jnp.float32)).astype(jnp.int32)
+    yi = jnp.round(ys.astype(jnp.float32)).astype(jnp.int32)
     valid = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)).astype(dtype)[..., None]
     v = _gather_hw(image, jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1))
     return v * valid
@@ -115,8 +119,8 @@ def grid_sample(image: jnp.ndarray, grid: jnp.ndarray, mode: str = "bilinear") -
       (B, Ho, Wo, C)
     """
     _, h, w, _ = image.shape
-    gx = grid[..., 0]
-    gy = grid[..., 1]
+    gx = grid[..., 0].astype(jnp.float32)
+    gy = grid[..., 1].astype(jnp.float32)
     # align_corners=True un-normalization: -1 -> 0, +1 -> size-1.
     xs = (gx + 1.0) * 0.5 * (w - 1)
     ys = (gy + 1.0) * 0.5 * (h - 1)
@@ -143,9 +147,10 @@ def warp(image: jnp.ndarray, flow: jnp.ndarray, mode: str = "bilinear") -> jnp.n
       (B, H, W, C) warped image.
     """
     b, h, w, _ = image.shape
-    ygrid = jnp.arange(h, dtype=flow.dtype)[:, None]
-    xgrid = jnp.arange(w, dtype=flow.dtype)[None, :]
-    xs = xgrid + flow[..., 0]
-    ys = ygrid + flow[..., 1]
+    # f32 grid: bf16 cannot represent integer coordinates > 256.
+    ygrid = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xgrid = jnp.arange(w, dtype=jnp.float32)[None, :]
+    xs = xgrid + flow[..., 0].astype(jnp.float32)
+    ys = ygrid + flow[..., 1].astype(jnp.float32)
     sample = bilinear_sample if mode == "bilinear" else nearest_sample
     return jax.vmap(sample)(image, ys, xs)

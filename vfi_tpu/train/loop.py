@@ -126,7 +126,10 @@ class Trainer:
         dtype = jnp.bfloat16 if cfg.bf16 else None
         self.model = EMAVFI(in_channels=cfg.in_channels,
                             mid_channels=cfg.mid_channels,
-                            num_blocks=cfg.num_blocks, dtype=dtype)
+                            num_blocks=cfg.num_blocks, dtype=dtype,
+                            dcn_max_offset=cfg.dcn_max_offset,
+                            warp_max_flow=cfg.warp_max_flow,
+                            use_pallas=cfg.use_pallas)
         self.vgg_layer_index = LAYER_INDEX[cfg.vgg_layer]
         self.vgg_module = VGG16Features(max_stage=self.vgg_layer_index, dtype=dtype)
 
@@ -191,6 +194,7 @@ class Trainer:
                                  in_shardings=(rep, rep, bsh, bsh, bsh),
                                  out_shardings=rep)
 
+        self._sample_fwd = jax.jit(self.model.apply)  # epoch sample dumps
         self.ckpt = CheckpointManager(cfg.checkpoint_path, keep=cfg.keep_checkpoints)
         self.start_epoch = 0
         self.best_val = float("inf")
@@ -203,6 +207,16 @@ class Trainer:
         self.state = jax.device_put(self.state, rep)
         self.vgg_params = jax.device_put(self.vgg_params, rep)
         os.makedirs(cfg.output_image_path, exist_ok=True)
+
+    def _log_metrics(self, record: dict) -> None:
+        """Append one JSON line per epoch to <checkpoint_path>/metrics.jsonl
+        (machine-readable observability; the reference only has tqdm)."""
+        import json
+
+        path = os.path.join(self.cfg.checkpoint_path, "metrics.jsonl")
+        os.makedirs(self.cfg.checkpoint_path, exist_ok=True)
+        with open(path, "a") as f:
+            f.write(json.dumps(record) + "\n")
 
     def _dump_sample(self, pred: jnp.ndarray, epoch: int) -> None:
         from PIL import Image
@@ -232,9 +246,8 @@ class Trainer:
                 running += float(metrics["loss"])
                 nb += 1
                 if i == 0:
-                    pred = self.model.apply(
-                        {"params": jax.tree.map(lambda x: x, self.state.params["params"])},
-                        batch[0][:1], batch[2][:1])
+                    pred = self._sample_fwd(self.state.params,
+                                            batch[0][:1], batch[2][:1])
                     self._dump_sample(np.asarray(pred), epoch)
                 if i % cfg.log_every == 0:
                     terms = {k: round(float(v), 4) for k, v in metrics.items()}
@@ -258,6 +271,11 @@ class Trainer:
             history["val_loss"].append(val_loss)
             history["psnr"].append(val_psnr)
             history["ssim"].append(val_ssim)
+            self._log_metrics({"epoch": epoch + 1, "train_loss": train_loss,
+                               "val_loss": val_loss, "val_psnr": val_psnr,
+                               "val_ssim": val_ssim, "lr": self.scheduler.lr,
+                               "seconds": round(dt, 2),
+                               "step": int(self.state.step)})
 
             # ---- best-model save (actually gated, unlike train.py:180-182) ----
             if val_loss < self.best_val:

@@ -94,6 +94,11 @@ class TrainConfig:
     mid_channels: int = 64
     num_blocks: int = 3
     vgg_weights_path: Optional[str] = None  # npz from convert_vgg16_torch
+    # Bounded-sampling fast paths (see EMAVFI docstring): offsets/flow clamp
+    # radius in px; None = exact unbounded reference semantics.
+    dcn_max_offset: Optional[int] = None
+    warp_max_flow: Optional[int] = None
+    use_pallas: bool = False
 
     # TPU execution (additions)
     mesh: MeshConfig = field(default_factory=MeshConfig)

@@ -130,6 +130,18 @@ def load_params_npz(path: str) -> Dict[str, Any]:
     return tree
 
 
+def infer_model_dims(params: Dict[str, Any]) -> Dict[str, int]:
+    """Read (in_channels, mid_channels, num_blocks) off an EMAVFI param tree
+    so loaders need no side-channel model config."""
+    p = params["params"] if "params" in params else params
+    kernel = p["feat_ext_conv1"]["conv"]["kernel"]
+    return {
+        "in_channels": int(kernel.shape[2]) // 2,
+        "mid_channels": int(kernel.shape[3]),
+        "num_blocks": sum(1 for k in p if k.startswith("feat_ext_block")),
+    }
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) not in (2, 3) or (len(argv) == 3 and argv[0] != "--vgg"):
