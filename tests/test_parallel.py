@@ -109,3 +109,32 @@ def test_spatially_sharded_forward_matches_single_device(rng):
                   jax.device_put(f1, ssh))
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_dp_batch_inference_multi_clip(rng):
+    """BASELINE config 5 shape: multi-clip batch inference sharded over the
+    'data' axis of the mesh through the public FrameInterpolator API."""
+    import jax
+    import jax.numpy as jnp
+
+    from vfi_tpu.infer.pair import FrameInterpolator
+    from vfi_tpu.models import EMAVFI
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    mesh = make_mesh()  # 8 fake devices on 'data'
+    interp = FrameInterpolator(params, bf16=False, mesh=mesh)
+
+    f0 = rng.uniform(0, 1, (16, 16, 16, 3)).astype(np.float32)
+    f1 = rng.uniform(0, 1, (16, 16, 16, 3)).astype(np.float32)
+    out = interp.midpoints(f0, f1)
+    assert out.shape == (16, 16, 16, 3)
+    # batch dim sharded over 'data'
+    assert out.sharding.is_equivalent_to(batch_sharding(mesh), ndim=4)
+
+    # non-divisible batch pads + slices back
+    out5 = interp.midpoints(f0[:5], f1[:5])
+    assert np.asarray(out5).shape == (5, 16, 16, 3)
+    np.testing.assert_allclose(np.asarray(out5), np.asarray(out)[:5],
+                               rtol=1e-5, atol=1e-6)

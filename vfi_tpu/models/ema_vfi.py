@@ -100,7 +100,14 @@ class EMAVFI(nn.Module):
 
         # 4. Backward-warp frame2 (RGB) by the flow; bilinear, zeros padding,
         #    align_corners=True semantics.
+        use_pallas_warp = False
         if self.warp_max_flow is not None and self.use_pallas:
+            from vfi_tpu.ops.pallas.sampling import pallas_sampling_feasible
+
+            use_pallas_warp = pallas_sampling_feasible(
+                f2.shape[1], f2.shape[2], f2.shape[3], f2.shape[3],
+                self.warp_max_flow, jnp.dtype(compute_dtype).itemsize)
+        if use_pallas_warp:
             from vfi_tpu.ops.pallas.wrappers import warp_fast
 
             warped2 = warp_fast(f2, flow, self.warp_max_flow)

@@ -160,13 +160,17 @@ class ModulatedDeformConv(nn.Module):
         if (self.max_offset is not None and self.stride == 1
                 and self.dilation == 1 and self.offset_groups == 1):
             if self.use_pallas:
+                from vfi_tpu.ops.pallas.sampling import pallas_sampling_feasible
                 from vfi_tpu.ops.pallas.wrappers import deform_conv2d_fast
 
-                return deform_conv2d_fast(
-                    x.astype(dtype), offset.astype(dtype), mask.astype(dtype),
-                    weight.astype(dtype),
-                    bias.astype(dtype) if bias is not None else None,
-                    self.max_offset)
+                if pallas_sampling_feasible(
+                        x.shape[1], x.shape[2], x.shape[3], self.features,
+                        self.max_offset, jnp.dtype(dtype).itemsize):
+                    return deform_conv2d_fast(
+                        x.astype(dtype), offset.astype(dtype),
+                        mask.astype(dtype), weight.astype(dtype),
+                        bias.astype(dtype) if bias is not None else None,
+                        self.max_offset)
             return deform_conv2d_shifts(
                 x.astype(dtype), offset.astype(dtype), mask.astype(dtype),
                 weight.astype(dtype),

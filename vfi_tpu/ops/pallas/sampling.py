@@ -11,14 +11,22 @@ bounded shift decomposition executed entirely in VMEM:
 
 with the displacement clamped to [-R, R]. The kernel:
 
-- DMAs one row-slab of the (pre-padded) input (+ halo) from HBM into VMEM
-  once per grid step — x is read exactly once per layer;
+- DMAs one (rows + halo, cols + halo) tile of the (pre-padded) input from
+  HBM into VMEM once per grid step — x is read ~once per layer;
 - loops the (2R+1)^2 candidate integer shifts with `jax.lax.fori_loop`
-  (compile-time independent of R) over dynamic VMEM slices; a `@pl.when`
-  guard skips shifts no pixel in the slab uses, so smooth displacement
-  fields cost far less than the worst case;
+  (compile-time independent of R) — row shifts are dynamic slices on the
+  untiled leading dim, column shifts a dynamic rotate + static slice (the
+  Mosaic-legal forms); a `@pl.when` guard skips shifts no pixel in the tile
+  uses, so smooth displacement fields cost far less than the worst case;
 - computes tri-weights, modulation mask, and accumulation on the VPU and
   the per-tap channel matmul on the MXU.
+
+Hardware constraints encoded here (each cost a failed compile to learn):
+dynamic sublane offsets must be 8-aligned (hence the rotate), dynamic_rotate
+needs 32-bit data (hence the f32 tile), manual HBM DMA slices need
+128-aligned minor dims (hence channel padding), VMEM sublane extents must be
+multiples of 8 (hence width rounding), and bf16 cannot represent pixel
+coordinates > 256 (all weight math in f32).
 
 Semantics match `deform_conv2d` / `warp` (zeros padding, align_corners
 backward warp) whenever |d| <= R; beyond that the displacement saturates.
@@ -41,24 +49,66 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _round8(v: int) -> int:
+    return ((v + 7) // 8) * 8
+
+
+def _pad128(v: int) -> int:
+    return ((v + 127) // 128) * 128
+
+
+def _pick_tiles(h: int, w: int, cpad: int, cout: int, m: int,
+                itemsize: int = 2,
+                budget: int = 12 * 1024 * 1024) -> tuple[int, int]:
+    """Largest (TH, TW) tile whose VMEM footprint (f32 x-tile + f32
+    accumulator + double-buffered offset/mask/out blocks) fits the budget."""
+    tw_opts = [w] + [w // d for d in (2, 4, 5, 8, 10) if w % d == 0]
+    for tw in tw_opts:
+        if tw % 8 != 0:
+            continue
+        for th in (32, 16, 8, 4, 2, 1):
+            if h % th != 0:
+                continue
+            tile = (th + 2 * m) * _round8(tw + 2 * m) * cpad * 4
+            acc = th * tw * cpad * 4
+            blocks = 2 * th * tw * (_pad128(27) * 2 + _pad128(cout)) * itemsize
+            if tile + acc + blocks <= budget:
+                return th, tw
+    raise ValueError(
+        f"no VMEM-feasible tile for h={h} w={w} cpad={cpad} halo={m}")
+
+
+def pallas_sampling_feasible(h: int, w: int, c: int, cout: int, R: int,
+                             itemsize: int = 2) -> bool:
+    """Static check: can the fused kernel tile this problem into VMEM?
+    Callers fall back to the XLA shifts op when False."""
+    try:
+        _pick_tiles(h, w, _pad128(c), cout, R + 1, itemsize=itemsize)
+        return True
+    except ValueError:
+        return False
+
+
 def _sampling_kernel(off_ref, msk_ref, w_ref, b_ref, x_hbm, out_ref,
                      x_tile, acc_ref, sem, *, kh: int, kw: int, R: int,
-                     TH: int, W: int, C: int, cout: int, padding: int,
-                     use_matmul: bool):
-    """One (batch, row-slab) grid step.
+                     TH: int, TW: int, TWH: int, C: int, cout: int,
+                     padding: int, use_matmul: bool):
+    """One (batch, row-tile, col-tile) grid step.
 
     x_hbm: (B, Hp, Wp, C) padded input, ANY memory space.
-    off_ref: (1, TH, W, 2*kh*kw) block. msk_ref: (1, TH, W, kh*kw) or None.
-    w_ref: (kh*kw, C, cout) or None. b_ref: (1, cout) or None.
-    out_ref: (1, TH, W, cout) block.
-    x_tile: VMEM scratch (TH + 2M, W + 2M, C). acc_ref: VMEM (TH, W, C) f32.
+    off_ref: (1, TH, TW, 2*kh*kw) block. msk_ref: (1, TH, TW, kh*kw).
+    w_ref: (kh*kw, C, cout). b_ref: (1, cout). out_ref: (1, TH, TW, cout).
+    x_tile: VMEM scratch (TH + 2M, TWH, C) where TWH = round8(TW + 2M).
+    acc_ref: VMEM (TH, TW, C) f32.
     """
     M = R + 1
     b = pl.program_id(0)
     r = pl.program_id(1)
+    c = pl.program_id(2)
 
     cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(r * TH, TH + 2 * M)], x_tile, sem)
+        x_hbm.at[b, pl.ds(r * TH, TH + 2 * M), pl.ds(c * TW, TWH)],
+        x_tile, sem)
     cp.start()
     cp.wait()
 
@@ -71,9 +121,10 @@ def _sampling_kernel(off_ref, msk_ref, w_ref, b_ref, x_hbm, out_ref,
         dx = jnp.clip(off_ref[0, :, :, 2 * t + 1].astype(jnp.float32), -R, R) \
             + (j - padding)
 
-        acc_ref[...] = jnp.zeros((TH, W, C), jnp.float32)
+        acc_ref[...] = jnp.zeros((TH, TW, C), jnp.float32)
 
-        def shift_body(k, _, i=i, j=j, dy=dy, dx=dx):
+        # fori over all (vy, vx) integer shifts of this tap
+        def body(k, _, i=i, j=j, dy=dy, dx=dx):
             vy = k // nsh + (i - padding - R)
             vx = jax.lax.rem(k, nsh) + (j - padding - R)
             ay = jnp.maximum(1.0 - jnp.abs(dy - vy.astype(jnp.float32)), 0.0)
@@ -82,29 +133,26 @@ def _sampling_kernel(off_ref, msk_ref, w_ref, b_ref, x_hbm, out_ref,
 
             @pl.when(jnp.max(wgt) > 0.0)
             def _():
-                # Dynamic start on the untiled leading (row) dim is free;
-                # the W (sublane) shift must be 8-aligned for a dynamic
-                # slice, so it is realized as a dynamic rotate + static
-                # slice (rotate needs 32-bit data — the tile is f32).
-                # Wrapped-around columns land beyond [0, W) and are cut off
-                # by the slice (halo M >= |vx|).
+                # Row shift: dynamic slice on the untiled leading dim.
+                # Column shift: dynamic rotate + static slice (wrapped
+                # columns land beyond [0, TW) and are cut off).
                 rows = x_tile[pl.ds(vy + M, TH), :, :]
                 rolled = pltpu.roll(rows, -(vx + M), axis=1)
-                acc_ref[...] += wgt[:, :, None] * rolled[:, :W, :]
+                acc_ref[...] += wgt[:, :, None] * rolled[:, :TW, :]
 
             return 0
 
-        jax.lax.fori_loop(0, nsh * nsh, shift_body, 0)
+        jax.lax.fori_loop(0, nsh * nsh, body, 0)
 
         sampled = acc_ref[...]
         if msk_ref is not None:
             sampled = sampled * msk_ref[0, :, :, t].astype(jnp.float32)[:, :, None]
         if use_matmul:
             contrib = jax.lax.dot_general(
-                sampled.reshape(TH * W, C), w_ref[t].astype(jnp.float32),
+                sampled.reshape(TH * TW, C), w_ref[t].astype(jnp.float32),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).reshape(TH, W, cout)
+            ).reshape(TH, TW, cout)
         else:
             contrib = sampled
         if t == 0:
@@ -114,25 +162,17 @@ def _sampling_kernel(off_ref, msk_ref, w_ref, b_ref, x_hbm, out_ref,
 
     if b_ref is not None:
         out_ref[0] += jnp.broadcast_to(
-            b_ref[0].astype(out_ref.dtype), (TH, W, cout))
+            b_ref[0].astype(out_ref.dtype), (TH, TW, cout))
 
 
-def _pick_th(h: int, w: int, cpad: int, cout: int, m: int,
-             itemsize: int = 2, budget: int = 12 * 1024 * 1024) -> int:
-    """Largest row-slab height whose VMEM footprint (f32 x-tile + f32
-    accumulator + double-buffered offset/mask/out blocks) fits the budget."""
-    def pad128(v: int) -> int:
-        return ((v + 127) // 128) * 128
-
-    for th in (32, 16, 8, 4, 2, 1):
-        if h % th != 0:
-            continue
-        tile = (th + 2 * m) * (w + 2 * m) * cpad * 4
-        acc = th * w * cpad * 4
-        blocks = 2 * th * w * (pad128(27) * 2 + pad128(cout)) * itemsize
-        if tile + acc + blocks <= budget:
-            return th
-    return 1
+def _pad_input(x, m: int, w: int, tw: int, twh: int, cpad: int):
+    """Zero-pad NHWC input: halo m on H; on W, halo m left and enough right
+    that the last column-tile's DMA window (start (nw-1)*tw, width twh) is
+    in-bounds; channels to cpad."""
+    b, h, wx, c = x.shape
+    right = (w - tw) + twh - (w + m)
+    return jnp.pad(x, ((0, 0), (m, m), (m, max(right, m)), (0, cpad - c))
+                   ).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("max_offset", "padding"))
@@ -157,32 +197,27 @@ def deform_conv2d_pallas(
     R = int(max_offset)
     M = R + 1
     dtype = x.dtype
-    cpad_ = ((cin + 127) // 128) * 128
-    TH = _pick_th(h, w, cpad_, cout, M, itemsize=jnp.dtype(dtype).itemsize)
+    cpad = _pad128(cin)
+    TH, TW = _pick_tiles(h, w, cpad, cout, M,
+                         itemsize=jnp.dtype(dtype).itemsize)
+    TWH = _round8(TW + 2 * M)
 
-    # f32 tile: tpu.dynamic_rotate does not support 16-bit element types.
-    # Channel dim padded to the 128-lane tiling (manual HBM DMA slices must
-    # be lane-aligned); the zero rows of the padded weights keep the extra
-    # channels inert. Tile width padded to the 8-sublane tiling.
-    cpad = ((cin + 127) // 128) * 128
-    wp8 = ((w + 2 * M + 7) // 8) * 8
-    xp = jnp.pad(x, ((0, 0), (M, M), (M, wp8 - w - M), (0, cpad - cin))
-                 ).astype(jnp.float32)
+    xp = _pad_input(x, M, w, TW, TWH, cpad)
     w_taps = jnp.pad(weight.reshape(kh * kw, cin, cout),
                      ((0, 0), (0, cpad - cin), (0, 0)))
 
     kern = functools.partial(
-        _sampling_kernel, kh=kh, kw=kw, R=R, TH=TH, W=w, C=cpad,
-        cout=cout, padding=padding, use_matmul=True)
+        _sampling_kernel, kh=kh, kw=kw, R=R, TH=TH, TW=TW, TWH=TWH,
+        C=cpad, cout=cout, padding=padding, use_matmul=True)
 
-    grid = (b, h // TH)
+    grid = (b, h // TH, w // TW)
     in_specs = [
-        pl.BlockSpec((1, TH, w, offset.shape[-1]),
-                     lambda bi, ri: (bi, ri, 0, 0)),
-        pl.BlockSpec((1, TH, w, kh * kw), lambda bi, ri: (bi, ri, 0, 0)),
+        pl.BlockSpec((1, TH, TW, offset.shape[-1]),
+                     lambda bi, ri, ci: (bi, ri, ci, 0)),
+        pl.BlockSpec((1, TH, TW, kh * kw), lambda bi, ri, ci: (bi, ri, ci, 0)),
         pl.BlockSpec(memory_space=pltpu.VMEM),       # weights
         pl.BlockSpec(memory_space=pltpu.VMEM),       # bias (1, cout)
-        pl.BlockSpec(memory_space=pl.ANY),        # padded x in HBM
+        pl.BlockSpec(memory_space=pl.ANY),           # padded x in HBM
     ]
     operands = [offset, mask if mask is not None else
                 jnp.ones((b, h, w, kh * kw), dtype),
@@ -195,11 +230,12 @@ def deform_conv2d_pallas(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, TH, w, cout), lambda bi, ri: (bi, ri, 0, 0)),
+        out_specs=pl.BlockSpec((1, TH, TW, cout),
+                               lambda bi, ri, ci: (bi, ri, ci, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), dtype),
         scratch_shapes=[
-            pltpu.VMEM((TH + 2 * M, wp8, cpad), jnp.float32),
-            pltpu.VMEM((TH, w, cpad), jnp.float32),
+            pltpu.VMEM((TH + 2 * M, TWH, cpad), jnp.float32),
+            pltpu.VMEM((TH, TW, cpad), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(*operands)
@@ -207,23 +243,25 @@ def deform_conv2d_pallas(
 
 
 def _warp_kernel(flow_ref, x_hbm, out_ref, x_tile, acc_ref, sem, *,
-                 R: int, TH: int, W: int, C: int):
+                 R: int, TH: int, TW: int, TWH: int, C: int):
     """Backward warp as the k=1 special case (flow = (dx, dy) like the
     reference, reference ema_vfi.py:153-162)."""
     M = R + 1
     b = pl.program_id(0)
     r = pl.program_id(1)
+    c = pl.program_id(2)
     cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(r * TH, TH + 2 * M)], x_tile, sem)
+        x_hbm.at[b, pl.ds(r * TH, TH + 2 * M), pl.ds(c * TW, TWH)],
+        x_tile, sem)
     cp.start()
     cp.wait()
 
     dx = jnp.clip(flow_ref[0, :, :, 0].astype(jnp.float32), -R, R)
     dy = jnp.clip(flow_ref[0, :, :, 1].astype(jnp.float32), -R, R)
     nsh = 2 * R + 1
-    acc_ref[...] = jnp.zeros((TH, W, C), jnp.float32)
+    acc_ref[...] = jnp.zeros((TH, TW, C), jnp.float32)
 
-    def shift_body(k, _):
+    def body(k, _):
         vy = k // nsh - R
         vx = jax.lax.rem(k, nsh) - R
         ay = jnp.maximum(1.0 - jnp.abs(dy - vy.astype(jnp.float32)), 0.0)
@@ -234,11 +272,11 @@ def _warp_kernel(flow_ref, x_hbm, out_ref, x_tile, acc_ref, sem, *,
         def _():
             rows = x_tile[pl.ds(vy + M, TH), :, :]
             rolled = pltpu.roll(rows, -(vx + M), axis=1)
-            acc_ref[...] += wgt[:, :, None] * rolled[:, :W, :]
+            acc_ref[...] += wgt[:, :, None] * rolled[:, :TW, :]
 
         return 0
 
-    jax.lax.fori_loop(0, nsh * nsh, shift_body, 0)
+    jax.lax.fori_loop(0, nsh * nsh, body, 0)
     out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
@@ -256,25 +294,26 @@ def bounded_warp_pallas(image: jnp.ndarray, flow: jnp.ndarray,
     R = int(max_flow)
     M = R + 1
     dtype = image.dtype
-    cpad = ((c + 127) // 128) * 128
-    TH = _pick_th(h, w, cpad, cpad, M, itemsize=jnp.dtype(dtype).itemsize)
-    wp8 = ((w + 2 * M + 7) // 8) * 8
-    xp = jnp.pad(image, ((0, 0), (M, M), (M, wp8 - w - M), (0, cpad - c))
-                 ).astype(jnp.float32)
+    cpad = _pad128(c)
+    TH, TW = _pick_tiles(h, w, cpad, cpad, M,
+                         itemsize=jnp.dtype(dtype).itemsize)
+    TWH = _round8(TW + 2 * M)
+    xp = _pad_input(image, M, w, TW, TWH, cpad)
 
-    kern = functools.partial(_warp_kernel, R=R, TH=TH, W=w, C=cpad)
+    kern = functools.partial(_warp_kernel, R=R, TH=TH, TW=TW, TWH=TWH, C=cpad)
     out = pl.pallas_call(
         kern,
-        grid=(b, h // TH),
+        grid=(b, h // TH, w // TW),
         in_specs=[
-            pl.BlockSpec((1, TH, w, 2), lambda bi, ri: (bi, ri, 0, 0)),
+            pl.BlockSpec((1, TH, TW, 2), lambda bi, ri, ci: (bi, ri, ci, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, TH, w, cpad), lambda bi, ri: (bi, ri, 0, 0)),
+        out_specs=pl.BlockSpec((1, TH, TW, cpad),
+                               lambda bi, ri, ci: (bi, ri, ci, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cpad), dtype),
         scratch_shapes=[
-            pltpu.VMEM((TH + 2 * M, wp8, cpad), jnp.float32),
-            pltpu.VMEM((TH, w, cpad), jnp.float32),
+            pltpu.VMEM((TH + 2 * M, TWH, cpad), jnp.float32),
+            pltpu.VMEM((TH, TW, cpad), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(flow, xp)

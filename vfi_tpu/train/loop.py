@@ -48,10 +48,13 @@ IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
-                    weights: LossWeights, soft_histogram: bool = False):
+                    weights: LossWeights, soft_histogram: bool = False,
+                    remat: bool = False):
     """Build the jit-able train step: (state, vgg_params, f0, ft, f1) ->
     (state, metrics). vgg_params passed explicitly so its sharding is
-    controlled by the caller (not baked in as jit constants)."""
+    controlled by the caller (not baked in as jit constants). `remat`
+    rematerializes the forward during backprop (trades FLOPs for HBM —
+    lets batch/resolution scale past activation-memory limits)."""
 
     def vgg_loss_fn(vgg_params, a, b):
         from vfi_tpu.ops.resize import resize_bilinear
@@ -64,8 +67,10 @@ def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
         fb = vgg_module.apply(vgg_params, (b - mean) / std)[vgg_layer_index]
         return jnp.mean(jnp.abs(fa - fb))
 
+    apply_fn = jax.checkpoint(model.apply) if remat else model.apply
+
     def loss_fn(params, vgg_params, f0, ft, f1):
-        pred = model.apply(params, f0, f1)
+        pred = apply_fn(params, f0, f1)
         vfn = partial(vgg_loss_fn, vgg_params) if vgg_module is not None else None
         tot, terms = total_loss(pred, ft, vfn, weights,
                                 soft_histogram=soft_histogram)
@@ -181,7 +186,7 @@ class Trainer:
         bsh = batch_sharding(self.mesh)
         raw_train = make_train_step(self.model, self.vgg_module,
                                     self.vgg_layer_index, self.weights,
-                                    cfg.soft_histogram)
+                                    cfg.soft_histogram, remat=cfg.remat)
         self.train_step = jax.jit(
             raw_train,
             in_shardings=(rep, rep, bsh, bsh, bsh),

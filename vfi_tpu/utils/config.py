@@ -103,6 +103,7 @@ class TrainConfig:
     # TPU execution (additions)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     bf16: bool = True              # bfloat16 activation compute
+    remat: bool = False            # rematerialize fwd in backprop (save HBM)
     seed: int = 0
     log_every: int = 10
     profile_dir: Optional[str] = None  # jax.profiler trace output

@@ -38,7 +38,7 @@ def _conv(sd: Dict[str, np.ndarray], name: str) -> Dict[str, np.ndarray]:
 
 
 def convert_ema_vfi_state_dict(
-    sd: Dict[str, np.ndarray], num_blocks: int = 3
+    sd: Dict[str, np.ndarray], num_blocks: int | None = None
 ) -> Dict[str, Any]:
     """Map a reference `EMA_VFI.state_dict()` onto `EMAVFI` Flax params.
 
@@ -48,6 +48,10 @@ def convert_ema_vfi_state_dict(
     `context_encoding.5`, and each attention block its `offset_conv` /
     `dcn_v2` children.
     """
+    if num_blocks is None:
+        num_blocks = sum(1 for k in sd
+                         if k.startswith("feat_ext_blocks.conv_block_")
+                         and k.endswith(".weight"))
     p: Dict[str, Any] = {}
     p["feat_ext_conv1"] = {"conv": _conv(sd, "feat_ext_conv1.0")}
     for i in range(num_blocks):
@@ -74,7 +78,7 @@ def convert_ema_vfi_state_dict(
     return {"params": p}
 
 
-def convert_ema_vfi_torch(pth_path: str, num_blocks: int = 3) -> Dict[str, Any]:
+def convert_ema_vfi_torch(pth_path: str, num_blocks: int | None = None) -> Dict[str, Any]:
     """Load a reference `.pth` and return Flax params for `EMAVFI`."""
     return convert_ema_vfi_state_dict(_load_state_dict(pth_path), num_blocks)
 
