@@ -147,3 +147,32 @@ def test_infer_two_frame_cli(tmp_path, rng):
     assert rc == 0
     mid = np.asarray(Image.open(out))
     assert mid.shape == (16, 16, 3)
+
+
+def test_video_reference_compat_ordering(tiny_interp, tmp_path, rng):
+    """Compat mode: per pair write [midpoint x factor, frame1]; frame0 of
+    the first pair never written (reference inference.py:180-188)."""
+    cv2 = pytest.importorskip("cv2")
+    from vfi_tpu.infer.video import interpolate_video
+    from vfi_tpu.models import EMAVFI
+    from vfi_tpu.infer.pair import FrameInterpolator
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    interp = FrameInterpolator(params, bf16=False, reference_compat=True)
+
+    src = str(tmp_path / "in.avi")
+    dst = str(tmp_path / "out.avi")
+    w, h, n = 64, 48, 4
+    writer = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"MJPG"), 15.0, (w, h))
+    base = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+    for i in range(n):
+        writer.write(np.roll(base, i, axis=1))
+    writer.release()
+
+    stats = interpolate_video(src, dst, interp, target_fps=60.0, scale=1.0,
+                              batch_pairs=2, reference_compat=True)
+    # factor = round(60/15 - 1) = 3; (n-1) pairs * (3 interp + 1 original)
+    assert stats["factor"] == 3
+    assert stats["frames_written"] == (n - 1) * 4

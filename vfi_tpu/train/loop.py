@@ -213,6 +213,20 @@ class Trainer:
         self.vgg_params = jax.device_put(self.vgg_params, rep)
         os.makedirs(cfg.output_image_path, exist_ok=True)
 
+    def _device_batches(self, loader):
+        """Iterate a host loader with one batch of device-transfer lookahead:
+        the next batch ships to the mesh while the current one computes."""
+        it = iter(loader)
+        try:
+            pending = shard_batch(next(it), self.mesh)
+        except StopIteration:
+            return
+        for host_batch in it:
+            nxt = shard_batch(host_batch, self.mesh)
+            yield pending
+            pending = nxt
+        yield pending
+
     def _log_metrics(self, record: dict) -> None:
         """Append one JSON line per epoch to <checkpoint_path>/metrics.jsonl
         (machine-readable observability; the reference only has tqdm)."""
@@ -237,6 +251,22 @@ class Trainer:
         num_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
         profile_started = False
         history = {"train_loss": [], "val_loss": [], "psnr": [], "ssim": []}
+        try:
+            self._run_epochs(num_epochs, history, log,
+                             lambda: profile_started)
+        except KeyboardInterrupt:
+            # failure containment the reference lacks: persist state so the
+            # run is resumable from the interruption point
+            log("[vfi_tpu] interrupted — saving checkpoint for resume")
+            self.ckpt.save(max(self.start_epoch, len(history["val_loss"])),
+                           self.state, self.scheduler)
+            self.ckpt.wait()
+            raise
+        return history
+
+    def _run_epochs(self, num_epochs, history, log, _profile_flag):
+        cfg = self.cfg
+        profile_started = False
         for epoch in range(self.start_epoch, num_epochs):
             if cfg.profile_dir and not profile_started:
                 jax.profiler.start_trace(cfg.profile_dir)
@@ -245,8 +275,7 @@ class Trainer:
             t0 = time.time()
             running, nb = 0.0, 0
             self.train_loader.epoch = epoch
-            for i, (f0, ft, f1) in enumerate(self.train_loader):
-                batch = shard_batch((f0, ft, f1), self.mesh)
+            for i, batch in enumerate(self._device_batches(self.train_loader)):
                 self.state, metrics = self.train_step(self.state, self.vgg_params, *batch)
                 running += float(metrics["loss"])
                 nb += 1
@@ -261,8 +290,7 @@ class Trainer:
 
             # ---- validate ----
             val_running, vp, vs, vn = 0.0, 0.0, 0.0, 0
-            for f0, ft, f1 in self.val_loader:
-                batch = shard_batch((f0, ft, f1), self.mesh)
+            for batch in self._device_batches(self.val_loader):
                 m = self.eval_step(self.state.params, self.vgg_params, *batch)
                 val_running += float(m["loss"]); vp += float(m["psnr"])
                 vs += float(m["ssim"]); vn += 1
