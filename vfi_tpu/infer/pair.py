@@ -66,7 +66,11 @@ class FrameInterpolator:
                  mesh=None, reference_compat: bool = False,
                  dcn_max_offset: Optional[int] = None,
                  warp_max_flow: Optional[int] = None,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False,
+                 spatial: bool = False):
+        """`spatial=True` additionally shards frame height over the mesh's
+        'spatial' axis (single-clip 1080p/4K mode; XLA inserts the conv/
+        shift halo exchanges — see tests/test_parallel.py)."""
         from vfi_tpu.utils.convert import infer_model_dims
 
         dims = infer_model_dims(params)
@@ -80,7 +84,12 @@ class FrameInterpolator:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.reference_compat = reference_compat
         rep = replicated(self.mesh)
-        bsh = batch_sharding(self.mesh)
+        if spatial:
+            from vfi_tpu.parallel import spatial_sharding
+
+            bsh = spatial_sharding(self.mesh)
+        else:
+            bsh = batch_sharding(self.mesh)
         self.params = jax.device_put(jax.tree.map(jnp.asarray, params), rep)
 
         def fwd(p, f0, f1):

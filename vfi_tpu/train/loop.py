@@ -128,6 +128,12 @@ class Trainer:
         self.cfg = config
         cfg = config
         self.mesh = make_mesh(cfg.mesh.data, cfg.mesh.spatial)
+        if cfg.batch_size % self.mesh.shape["data"] != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must be divisible by the "
+                f"'data' mesh axis ({self.mesh.shape['data']}); set "
+                f"mesh.data explicitly (e.g. --mesh.data "
+                f"{max(1, cfg.batch_size)}) or raise batch_size")
         dtype = jnp.bfloat16 if cfg.bf16 else None
         self.model = EMAVFI(in_channels=cfg.in_channels,
                             mid_channels=cfg.mid_channels,
@@ -136,16 +142,21 @@ class Trainer:
                             warp_max_flow=cfg.warp_max_flow,
                             use_pallas=cfg.use_pallas)
         self.vgg_layer_index = LAYER_INDEX[cfg.vgg_layer]
-        self.vgg_module = VGG16Features(max_stage=self.vgg_layer_index, dtype=dtype)
+        # vgg_weight == 0 -> skip building/running VGG entirely
+        self.vgg_module = (VGG16Features(max_stage=self.vgg_layer_index,
+                                         dtype=dtype)
+                           if cfg.vgg_weight > 0 else None)
 
         rng = jax.random.PRNGKey(cfg.seed)
         small = jnp.zeros((1, 64, 64, cfg.in_channels), jnp.float32)
         params = self.model.init(rng, small, small)
-        if cfg.vgg_weights_path:
+        if self.vgg_module is None:
+            self.vgg_params = None
+        elif cfg.vgg_weights_path:
             self.vgg_params = jax.tree.map(
                 jnp.asarray, load_params_npz(cfg.vgg_weights_path))
         else:
-            self.vgg_params = self.vgg_module.init(
+            self.vgg_params = jax.jit(self.vgg_module.init)(
                 jax.random.PRNGKey(cfg.seed + 1), small)
 
         self.state = create_train_state(params, cfg.learning_rate,
@@ -157,6 +168,13 @@ class Trainer:
             charbonnier=cfg.charbonnier_weight, vgg=cfg.vgg_weight,
             color=cfg.color_weight, gradient=cfg.gradient_weight,
             temporal=cfg.temporal_weight)
+        if cfg.temporal_weight > 0:
+            # Loud, unlike the reference's silent disable (train.py:72-80).
+            # Wire models.flownet.SimpleFlowNet through total_loss's
+            # flow_estimator to activate the term (planned: joint training).
+            print("[vfi_tpu] temporal_weight > 0 but no flow estimator is "
+                  "configured in the Trainer yet — the temporal term is "
+                  "inactive (matching the reference's shipped behavior).")
 
         aug = AugmentConfig(
             crop_size=tuple(cfg.crop_size), random_rotation=cfg.random_rotation,
@@ -215,14 +233,26 @@ class Trainer:
 
     def _device_batches(self, loader):
         """Iterate a host loader with one batch of device-transfer lookahead:
-        the next batch ships to the mesh while the current one computes."""
+        the next batch ships to the mesh while the current one computes.
+        Remainder batches are padded (last sample replicated) to the full
+        batch so shardings stay static; yields (device_batch, true_size)."""
+        full = loader.batch_size
+
+        def prep(host_batch):
+            n = host_batch[0].shape[0]
+            if n < full:
+                host_batch = tuple(
+                    np.concatenate([a, np.repeat(a[-1:], full - n, axis=0)])
+                    for a in host_batch)
+            return shard_batch(host_batch, self.mesh), n
+
         it = iter(loader)
         try:
-            pending = shard_batch(next(it), self.mesh)
+            pending = prep(next(it))
         except StopIteration:
             return
         for host_batch in it:
-            nxt = shard_batch(host_batch, self.mesh)
+            nxt = prep(host_batch)
             yield pending
             pending = nxt
         yield pending
@@ -275,7 +305,7 @@ class Trainer:
             t0 = time.time()
             running, nb = 0.0, 0
             self.train_loader.epoch = epoch
-            for i, batch in enumerate(self._device_batches(self.train_loader)):
+            for i, (batch, _) in enumerate(self._device_batches(self.train_loader)):
                 self.state, metrics = self.train_step(self.state, self.vgg_params, *batch)
                 running += float(metrics["loss"])
                 nb += 1
@@ -288,12 +318,13 @@ class Trainer:
                     log(f"[epoch {epoch + 1}/{num_epochs}] step {i}/{len(self.train_loader)} {terms}")
             train_loss = running / max(nb, 1)
 
-            # ---- validate ----
+            # ---- validate (weight remainder batches by their true size) ----
             val_running, vp, vs, vn = 0.0, 0.0, 0.0, 0
-            for batch in self._device_batches(self.val_loader):
+            for batch, true_n in self._device_batches(self.val_loader):
                 m = self.eval_step(self.state.params, self.vgg_params, *batch)
-                val_running += float(m["loss"]); vp += float(m["psnr"])
-                vs += float(m["ssim"]); vn += 1
+                w = true_n
+                val_running += float(m["loss"]) * w; vp += float(m["psnr"]) * w
+                vs += float(m["ssim"]) * w; vn += w
             val_loss = val_running / max(vn, 1)
             val_psnr, val_ssim = vp / max(vn, 1), vs / max(vn, 1)
             dt = time.time() - t0
