@@ -64,3 +64,27 @@ def test_gradients_match_exact(rng):
     gf = jax.grad(loss_fast)(offset)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(ge),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_scan_variant_matches_unrolled(rng):
+    """The O(1)-memory scan formulation must equal the unrolled one."""
+    x, offset, mask, weight, bias = _case(rng, off_scale=1.2)
+    offset = jnp.clip(offset, -2.9, 2.9)
+    a = deform_conv2d_shifts(x, offset, mask, weight, bias, max_offset=3,
+                             unroll=True)
+    b = deform_conv2d_shifts(x, offset, mask, weight, bias, max_offset=3,
+                             unroll=False)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_scan_variant_is_differentiable(rng):
+    x, offset, mask, weight, bias = _case(rng, h=5, w=5, off_scale=0.8)
+    offset = jnp.clip(offset, -1.5, 1.5)
+
+    def loss(o, w_):
+        return jnp.sum(deform_conv2d_shifts(x, o, mask, w_, bias,
+                                            max_offset=2, unroll=False) ** 2)
+
+    go, gw = jax.grad(loss, argnums=(0, 1))(offset, weight)
+    assert np.isfinite(np.asarray(go)).all() and np.abs(np.asarray(gw)).max() > 0

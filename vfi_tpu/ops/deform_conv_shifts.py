@@ -40,6 +40,7 @@ def deform_conv2d_shifts(
     max_offset: int = 3,
     padding: int = 1,
     precision=None,
+    unroll: Optional[bool] = None,
 ) -> jnp.ndarray:
     """DCNv2 with offsets clamped to [-max_offset, max_offset], NHWC.
 
@@ -50,6 +51,10 @@ def deform_conv2d_shifts(
       weight: (kh, kw, Cin, Cout).
       bias: (Cout,) or None.
       max_offset: R — clamp radius in pixels.
+      unroll: True = fully unrolled shifts (fastest when XLA fuses, but it
+        materializes per-shift terms — OOMs beyond R=2 at video sizes);
+        False = lax.scan over shifts (O(1) extra memory, differentiable,
+        slower); None picks unroll for R <= 2.
     Returns: (B, H, W, Cout) (stride 1, 'same' spatial size).
     """
     b, h, w, cin = x.shape
@@ -70,6 +75,13 @@ def deform_conv2d_shifts(
 
     off = offset.reshape(b, h, w, n_taps, 2)
     msk = None if mask is None else mask.reshape(b, h, w, n_taps)
+
+    if unroll is None:
+        unroll = R <= 2
+    if not unroll:
+        return _shifts_scan(xp, off, msk, weight, bias, R=R, padding=padding,
+                            m_lo=m_lo, out_shape=(b, h, w, cout),
+                            precision=precision)
 
     out = jnp.zeros((b, h, w, cout), dtype)
     for i in range(kh):
@@ -97,3 +109,58 @@ def deform_conv2d_shifts(
     if bias is not None:
         out = out + bias.astype(dtype)
     return out
+
+
+def _shifts_scan(xp, off, msk, weight, bias, *, R, padding, m_lo, out_shape,
+                 precision):
+    """lax.scan formulation of the shift decomposition: one (tap, vy, vx)
+    triple per step, each a dynamic_slice of the padded input + weighted
+    accumulate. O(1) extra memory (XLA cannot blow up unrolled terms) and
+    reverse-differentiable (static trip count). ~(2R+1)^2 * k^2 sequential
+    steps — slower than the fused Pallas kernel but the safe fallback for
+    large radii."""
+    import jax
+    from jax import lax
+
+    b, h, w, cout = out_shape
+    kh, kw, cin, _ = weight.shape
+    dtype = xp.dtype
+    nsh = 2 * R + 1
+    n_taps = kh * kw
+
+    # Precompute per-tap displacement fields once (f32 weight math).
+    taps_ty = jnp.stack([
+        jnp.clip(off[..., t, 0].astype(jnp.float32), -R, R) + (t // kw - padding)
+        for t in range(n_taps)])  # (taps, B, H, W)
+    taps_tx = jnp.stack([
+        jnp.clip(off[..., t, 1].astype(jnp.float32), -R, R) + (t % kw - padding)
+        for t in range(n_taps)])
+    taps_msk = (jnp.ones((n_taps, b, h, w), dtype) if msk is None
+                else jnp.moveaxis(msk, -1, 0).astype(dtype))
+    w_taps = weight.reshape(n_taps, cin, cout)
+
+    steps = jnp.arange(n_taps * nsh * nsh)
+
+    def body(acc, k):
+        t = k // (nsh * nsh)
+        rem = k % (nsh * nsh)
+        i = t // kw
+        j = t % kw
+        vy = rem // nsh + (i - padding - R)
+        vx = rem % nsh + (j - padding - R)
+        ty = taps_ty[t]
+        tx = taps_tx[t]
+        ay = jnp.clip(1.0 - jnp.abs(ty - vy.astype(jnp.float32)), 0.0, 1.0)
+        ax = jnp.clip(1.0 - jnp.abs(tx - vx.astype(jnp.float32)), 0.0, 1.0)
+        wgt = (ay * ax).astype(dtype) * taps_msk[t]
+        xs = lax.dynamic_slice(
+            xp, (0, m_lo + vy, m_lo + vx, 0), (b, h, w, cin))
+        term = jnp.einsum("bhwc,co->bhwo", wgt[..., None] * xs, w_taps[t],
+                          preferred_element_type=dtype, precision=precision)
+        return acc + term, None
+
+    acc0 = jnp.zeros((b, h, w, cout), dtype)
+    acc, _ = lax.scan(body, acc0, steps)
+    if bias is not None:
+        acc = acc + bias.astype(dtype)
+    return acc
