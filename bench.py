@@ -59,8 +59,10 @@ def main() -> int:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
+    # Order: proven-fastest first. The Pallas kernels are kept out of the
+    # headline run for now — the Mosaic compiler on this toolchain hangs on
+    # some shapes (docs/PERFORMANCE.md); they remain opt-in via use_pallas.
     configs = [
-        ("pallas", dict(dcn_max_offset=3, warp_max_flow=16, use_pallas=True)),
         ("xla-shifts", dict(dcn_max_offset=2, warp_max_flow=16)),
         ("exact", dict()),
     ]

@@ -11,12 +11,12 @@ bounded shift decomposition executed entirely in VMEM:
 
 with the displacement clamped to [-R, R]. The kernel:
 
-- DMAs one (rows + halo, cols + halo) tile of the (pre-padded) input from
-  HBM into VMEM once per grid step — x is read ~once per layer;
+- DMAs one full-width row slab (+ halo) of the pre-padded input from HBM
+  into VMEM once per grid step — x is read ~once per layer;
 - loops the (2R+1)^2 candidate integer shifts with `jax.lax.fori_loop`
   (compile-time independent of R) — row shifts are dynamic slices on the
   untiled leading dim, column shifts a dynamic rotate + static slice (the
-  Mosaic-legal forms); a `@pl.when` guard skips shifts no pixel in the tile
+  Mosaic-legal forms); a `@pl.when` guard skips shifts no pixel in the slab
   uses, so smooth displacement fields cost far less than the worst case;
 - computes tri-weights, modulation mask, and accumulation on the VPU and
   the per-tap channel matmul on the MXU.
@@ -26,7 +26,11 @@ dynamic sublane offsets must be 8-aligned (hence the rotate), dynamic_rotate
 needs 32-bit data (hence the f32 tile), manual HBM DMA slices need
 128-aligned minor dims (hence channel padding), VMEM sublane extents must be
 multiples of 8 (hence width rounding), and bf16 cannot represent pixel
-coordinates > 256 (all weight math in f32).
+coordinates > 256 (all weight math in f32). Tiling is row-slab only — a
+2-D-tiled variant (two dynamic-start DMA dims) hangs the Mosaic compiler on
+this toolchain, so problems whose full-width slab cannot fit VMEM report
+infeasible and callers fall back to the XLA shifts op (see
+`pallas_sampling_feasible`).
 
 Semantics match `deform_conv2d` / `warp` (zeros padding, align_corners
 backward warp) whenever |d| <= R; beyond that the displacement saturates.
@@ -57,33 +61,30 @@ def _pad128(v: int) -> int:
     return ((v + 127) // 128) * 128
 
 
-def _pick_tiles(h: int, w: int, cpad: int, cout: int, m: int,
-                itemsize: int = 2,
-                budget: int = 12 * 1024 * 1024) -> tuple[int, int]:
-    """Largest (TH, TW) tile whose VMEM footprint (f32 x-tile + f32
-    accumulator + double-buffered offset/mask/out blocks) fits the budget."""
-    tw_opts = [w] + [w // d for d in (2, 4, 5, 8, 10) if w % d == 0]
-    for tw in tw_opts:
-        if tw % 8 != 0:
+def _pick_th(h: int, w: int, cpad: int, cout: int, m: int,
+             itemsize: int = 2, budget: int = 12 * 1024 * 1024) -> int:
+    """Largest row-slab height whose VMEM footprint (f32 x-tile + f32
+    accumulator + double-buffered offset/mask/out blocks) fits the budget.
+    Raises ValueError when even TH=1 does not fit (fallback to XLA op)."""
+    wp = _round8(w + 2 * m)
+    for th in (32, 16, 8, 4, 2, 1):
+        if h % th != 0:
             continue
-        for th in (32, 16, 8, 4, 2, 1):
-            if h % th != 0:
-                continue
-            tile = (th + 2 * m) * _round8(tw + 2 * m) * cpad * 4
-            acc = th * tw * cpad * 4
-            blocks = 2 * th * tw * (_pad128(27) * 2 + _pad128(cout)) * itemsize
-            if tile + acc + blocks <= budget:
-                return th, tw
+        tile = (th + 2 * m) * wp * cpad * 4
+        acc = th * w * cpad * 4
+        blocks = 2 * th * w * (_pad128(27) * 2 + _pad128(cout)) * itemsize
+        if tile + acc + blocks <= budget:
+            return th
     raise ValueError(
-        f"no VMEM-feasible tile for h={h} w={w} cpad={cpad} halo={m}")
+        f"no VMEM-feasible row slab for h={h} w={w} cpad={cpad} halo={m}")
 
 
 def pallas_sampling_feasible(h: int, w: int, c: int, cout: int, R: int,
                              itemsize: int = 2) -> bool:
-    """Static check: can the fused kernel tile this problem into VMEM?
-    Callers fall back to the XLA shifts op when False."""
+    """Static check: can the fused kernel fit a full-width row slab into
+    VMEM? Callers fall back to the XLA shifts op when False."""
     try:
-        _pick_tiles(h, w, _pad128(c), cout, R + 1, itemsize=itemsize)
+        _pick_th(h, w, _pad128(c), cout, R + 1, itemsize=itemsize)
         return True
     except ValueError:
         return False
@@ -91,24 +92,21 @@ def pallas_sampling_feasible(h: int, w: int, c: int, cout: int, R: int,
 
 def _sampling_kernel(off_ref, msk_ref, w_ref, b_ref, x_hbm, out_ref,
                      x_tile, acc_ref, sem, *, kh: int, kw: int, R: int,
-                     TH: int, TW: int, TWH: int, C: int, cout: int,
-                     padding: int, use_matmul: bool):
-    """One (batch, row-tile, col-tile) grid step.
+                     TH: int, W: int, C: int, cout: int, padding: int,
+                     use_matmul: bool):
+    """One (batch, row-slab) grid step.
 
-    x_hbm: (B, Hp, Wp, C) padded input, ANY memory space.
-    off_ref: (1, TH, TW, 2*kh*kw) block. msk_ref: (1, TH, TW, kh*kw).
-    w_ref: (kh*kw, C, cout). b_ref: (1, cout). out_ref: (1, TH, TW, cout).
-    x_tile: VMEM scratch (TH + 2M, TWH, C) where TWH = round8(TW + 2M).
-    acc_ref: VMEM (TH, TW, C) f32.
+    x_hbm: (B, Hp, Wp8, C) padded input, ANY memory space.
+    off_ref: (1, TH, W, 2*kh*kw) block. msk_ref: (1, TH, W, kh*kw).
+    w_ref: (kh*kw, C, cout). b_ref: (1, cout). out_ref: (1, TH, W, cout).
+    x_tile: VMEM scratch (TH + 2M, Wp8, C). acc_ref: VMEM (TH, W, C) f32.
     """
     M = R + 1
     b = pl.program_id(0)
     r = pl.program_id(1)
-    c = pl.program_id(2)
 
     cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(r * TH, TH + 2 * M), pl.ds(c * TW, TWH)],
-        x_tile, sem)
+        x_hbm.at[b, pl.ds(r * TH, TH + 2 * M)], x_tile, sem)
     cp.start()
     cp.wait()
 
@@ -121,9 +119,8 @@ def _sampling_kernel(off_ref, msk_ref, w_ref, b_ref, x_hbm, out_ref,
         dx = jnp.clip(off_ref[0, :, :, 2 * t + 1].astype(jnp.float32), -R, R) \
             + (j - padding)
 
-        acc_ref[...] = jnp.zeros((TH, TW, C), jnp.float32)
+        acc_ref[...] = jnp.zeros((TH, W, C), jnp.float32)
 
-        # fori over all (vy, vx) integer shifts of this tap
         def body(k, _, i=i, j=j, dy=dy, dx=dx):
             vy = k // nsh + (i - padding - R)
             vx = jax.lax.rem(k, nsh) + (j - padding - R)
@@ -135,10 +132,10 @@ def _sampling_kernel(off_ref, msk_ref, w_ref, b_ref, x_hbm, out_ref,
             def _():
                 # Row shift: dynamic slice on the untiled leading dim.
                 # Column shift: dynamic rotate + static slice (wrapped
-                # columns land beyond [0, TW) and are cut off).
+                # columns land beyond [0, W) and are cut off; halo >= |vx|).
                 rows = x_tile[pl.ds(vy + M, TH), :, :]
                 rolled = pltpu.roll(rows, -(vx + M), axis=1)
-                acc_ref[...] += wgt[:, :, None] * rolled[:, :TW, :]
+                acc_ref[...] += wgt[:, :, None] * rolled[:, :W, :]
 
             return 0
 
@@ -149,10 +146,10 @@ def _sampling_kernel(off_ref, msk_ref, w_ref, b_ref, x_hbm, out_ref,
             sampled = sampled * msk_ref[0, :, :, t].astype(jnp.float32)[:, :, None]
         if use_matmul:
             contrib = jax.lax.dot_general(
-                sampled.reshape(TH * TW, C), w_ref[t].astype(jnp.float32),
+                sampled.reshape(TH * W, C), w_ref[t].astype(jnp.float32),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).reshape(TH, TW, cout)
+            ).reshape(TH, W, cout)
         else:
             contrib = sampled
         if t == 0:
@@ -162,16 +159,15 @@ def _sampling_kernel(off_ref, msk_ref, w_ref, b_ref, x_hbm, out_ref,
 
     if b_ref is not None:
         out_ref[0] += jnp.broadcast_to(
-            b_ref[0].astype(out_ref.dtype), (TH, TW, cout))
+            b_ref[0].astype(out_ref.dtype), (TH, W, cout))
 
 
-def _pad_input(x, m: int, w: int, tw: int, twh: int, cpad: int):
-    """Zero-pad NHWC input: halo m on H; on W, halo m left and enough right
-    that the last column-tile's DMA window (start (nw-1)*tw, width twh) is
-    in-bounds; channels to cpad."""
-    b, h, wx, c = x.shape
-    right = (w - tw) + twh - (w + m)
-    return jnp.pad(x, ((0, 0), (m, m), (m, max(right, m)), (0, cpad - c))
+def _pad_input(x, m: int, cpad: int):
+    """Zero-pad NHWC input: halo m on H/W (width rounded to the 8-sublane
+    tiling), channels to cpad; f32 for the in-kernel dynamic rotate."""
+    b, h, w, c = x.shape
+    wp8 = _round8(w + 2 * m)
+    return jnp.pad(x, ((0, 0), (m, m), (m, wp8 - w - m), (0, cpad - c))
                    ).astype(jnp.float32)
 
 
@@ -198,23 +194,21 @@ def deform_conv2d_pallas(
     M = R + 1
     dtype = x.dtype
     cpad = _pad128(cin)
-    TH, TW = _pick_tiles(h, w, cpad, cout, M,
-                         itemsize=jnp.dtype(dtype).itemsize)
-    TWH = _round8(TW + 2 * M)
+    TH = _pick_th(h, w, cpad, cout, M, itemsize=jnp.dtype(dtype).itemsize)
 
-    xp = _pad_input(x, M, w, TW, TWH, cpad)
+    xp = _pad_input(x, M, cpad)
     w_taps = jnp.pad(weight.reshape(kh * kw, cin, cout),
                      ((0, 0), (0, cpad - cin), (0, 0)))
 
     kern = functools.partial(
-        _sampling_kernel, kh=kh, kw=kw, R=R, TH=TH, TW=TW, TWH=TWH,
-        C=cpad, cout=cout, padding=padding, use_matmul=True)
+        _sampling_kernel, kh=kh, kw=kw, R=R, TH=TH, W=w, C=cpad,
+        cout=cout, padding=padding, use_matmul=True)
 
-    grid = (b, h // TH, w // TW)
+    grid = (b, h // TH)
     in_specs = [
-        pl.BlockSpec((1, TH, TW, offset.shape[-1]),
-                     lambda bi, ri, ci: (bi, ri, ci, 0)),
-        pl.BlockSpec((1, TH, TW, kh * kw), lambda bi, ri, ci: (bi, ri, ci, 0)),
+        pl.BlockSpec((1, TH, w, offset.shape[-1]),
+                     lambda bi, ri: (bi, ri, 0, 0)),
+        pl.BlockSpec((1, TH, w, kh * kw), lambda bi, ri: (bi, ri, 0, 0)),
         pl.BlockSpec(memory_space=pltpu.VMEM),       # weights
         pl.BlockSpec(memory_space=pltpu.VMEM),       # bias (1, cout)
         pl.BlockSpec(memory_space=pl.ANY),           # padded x in HBM
@@ -230,12 +224,11 @@ def deform_conv2d_pallas(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, TH, TW, cout),
-                               lambda bi, ri, ci: (bi, ri, ci, 0)),
+        out_specs=pl.BlockSpec((1, TH, w, cout), lambda bi, ri: (bi, ri, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), dtype),
         scratch_shapes=[
-            pltpu.VMEM((TH + 2 * M, TWH, cpad), jnp.float32),
-            pltpu.VMEM((TH, TW, cpad), jnp.float32),
+            pltpu.VMEM((TH + 2 * M, _round8(w + 2 * M), cpad), jnp.float32),
+            pltpu.VMEM((TH, w, cpad), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(*operands)
@@ -243,23 +236,21 @@ def deform_conv2d_pallas(
 
 
 def _warp_kernel(flow_ref, x_hbm, out_ref, x_tile, acc_ref, sem, *,
-                 R: int, TH: int, TW: int, TWH: int, C: int):
+                 R: int, TH: int, W: int, C: int):
     """Backward warp as the k=1 special case (flow = (dx, dy) like the
     reference, reference ema_vfi.py:153-162)."""
     M = R + 1
     b = pl.program_id(0)
     r = pl.program_id(1)
-    c = pl.program_id(2)
     cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(r * TH, TH + 2 * M), pl.ds(c * TW, TWH)],
-        x_tile, sem)
+        x_hbm.at[b, pl.ds(r * TH, TH + 2 * M)], x_tile, sem)
     cp.start()
     cp.wait()
 
     dx = jnp.clip(flow_ref[0, :, :, 0].astype(jnp.float32), -R, R)
     dy = jnp.clip(flow_ref[0, :, :, 1].astype(jnp.float32), -R, R)
     nsh = 2 * R + 1
-    acc_ref[...] = jnp.zeros((TH, TW, C), jnp.float32)
+    acc_ref[...] = jnp.zeros((TH, W, C), jnp.float32)
 
     def body(k, _):
         vy = k // nsh - R
@@ -272,7 +263,7 @@ def _warp_kernel(flow_ref, x_hbm, out_ref, x_tile, acc_ref, sem, *,
         def _():
             rows = x_tile[pl.ds(vy + M, TH), :, :]
             rolled = pltpu.roll(rows, -(vx + M), axis=1)
-            acc_ref[...] += wgt[:, :, None] * rolled[:, :TW, :]
+            acc_ref[...] += wgt[:, :, None] * rolled[:, :W, :]
 
         return 0
 
@@ -295,25 +286,22 @@ def bounded_warp_pallas(image: jnp.ndarray, flow: jnp.ndarray,
     M = R + 1
     dtype = image.dtype
     cpad = _pad128(c)
-    TH, TW = _pick_tiles(h, w, cpad, cpad, M,
-                         itemsize=jnp.dtype(dtype).itemsize)
-    TWH = _round8(TW + 2 * M)
-    xp = _pad_input(image, M, w, TW, TWH, cpad)
+    TH = _pick_th(h, w, cpad, cpad, M, itemsize=jnp.dtype(dtype).itemsize)
+    xp = _pad_input(image, M, cpad)
 
-    kern = functools.partial(_warp_kernel, R=R, TH=TH, TW=TW, TWH=TWH, C=cpad)
+    kern = functools.partial(_warp_kernel, R=R, TH=TH, W=w, C=cpad)
     out = pl.pallas_call(
         kern,
-        grid=(b, h // TH, w // TW),
+        grid=(b, h // TH),
         in_specs=[
-            pl.BlockSpec((1, TH, TW, 2), lambda bi, ri, ci: (bi, ri, ci, 0)),
+            pl.BlockSpec((1, TH, w, 2), lambda bi, ri: (bi, ri, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, TH, TW, cpad),
-                               lambda bi, ri, ci: (bi, ri, ci, 0)),
+        out_specs=pl.BlockSpec((1, TH, w, cpad), lambda bi, ri: (bi, ri, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cpad), dtype),
         scratch_shapes=[
-            pltpu.VMEM((TH + 2 * M, TWH, cpad), jnp.float32),
-            pltpu.VMEM((TH, TW, cpad), jnp.float32),
+            pltpu.VMEM((TH + 2 * M, _round8(w + 2 * M), cpad), jnp.float32),
+            pltpu.VMEM((TH, w, cpad), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(flow, xp)
