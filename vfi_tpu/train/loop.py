@@ -92,14 +92,9 @@ def make_eval_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
     """Val step: loss + prediction + PSNR/SSIM (vs the normalized target
     un-normalized back to [0,1] space for the quality metrics)."""
 
-    train_step_builder = make_train_step(model, vgg_module, vgg_layer_index,
-                                         weights, soft_histogram)
-
     def eval_step(params, vgg_params, f0, ft, f1):
         pred = model.apply(params, f0, f1)
         # loss in the training convention (pred [0,1] vs normalized target)
-        from vfi_tpu.ops.resize import resize_bilinear  # noqa: F401
-
         tot, terms = total_loss(pred, ft, None, weights,
                                 soft_histogram=soft_histogram)
         # quality metrics in [0,1] space
@@ -110,7 +105,6 @@ def make_eval_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
                 "psnr": jnp.mean(psnr(pred, gt01)),
                 "ssim": jnp.mean(ssim(pred, gt01))}
 
-    del train_step_builder
     return eval_step
 
 
@@ -149,7 +143,9 @@ class Trainer:
 
         rng = jax.random.PRNGKey(cfg.seed)
         small = jnp.zeros((1, 64, 64, cfg.in_channels), jnp.float32)
-        params = self.model.init(rng, small, small)
+        # jit the init: eager dispatch is minutes-slow through this
+        # environment's remote TPU relay
+        params = jax.jit(self.model.init)(rng, small, small)
         if self.vgg_module is None:
             self.vgg_params = None
         elif cfg.vgg_weights_path:
@@ -279,11 +275,9 @@ class Trainer:
             log: Callable[[str], None] = print) -> dict:
         cfg = self.cfg
         num_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
-        profile_started = False
         history = {"train_loss": [], "val_loss": [], "psnr": [], "ssim": []}
         try:
-            self._run_epochs(num_epochs, history, log,
-                             lambda: profile_started)
+            self._run_epochs(num_epochs, history, log)
         except KeyboardInterrupt:
             # failure containment the reference lacks: persist state so the
             # run is resumable from the interruption point
@@ -294,7 +288,7 @@ class Trainer:
             raise
         return history
 
-    def _run_epochs(self, num_epochs, history, log, _profile_flag):
+    def _run_epochs(self, num_epochs, history, log):
         cfg = self.cfg
         profile_started = False
         for epoch in range(self.start_epoch, num_epochs):
