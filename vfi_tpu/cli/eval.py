@@ -21,6 +21,11 @@ def main(argv=None) -> int:
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--fp32", action="store_true")
     parser.add_argument("--json", action="store_true", help="machine-readable output")
+    parser.add_argument("--dcn_max_offset", type=int, default=None,
+                        help="bounded-offset fast DCN sampling radius (px)")
+    parser.add_argument("--warp_max_flow", type=int, default=None,
+                        help="bounded warp flow radius (px)")
+    parser.add_argument("--use_pallas", action="store_true")
     args = parser.parse_args(argv)
 
     from vfi_tpu.cli.common import load_model_params, setup
@@ -37,7 +42,10 @@ def main(argv=None) -> int:
     import jax
 
     params = load_model_params(args.model_path)
-    interp = FrameInterpolator(params, bf16=not args.fp32)
+    interp = FrameInterpolator(params, bf16=not args.fp32,
+                               dcn_max_offset=args.dcn_max_offset,
+                               warp_max_flow=args.warp_max_flow,
+                               use_pallas=args.use_pallas)
     ds = TripletDataset(args.data_dir, args.frame_interval, augment=None,
                         normalize=False)
 
