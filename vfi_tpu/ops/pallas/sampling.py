@@ -96,6 +96,12 @@ def _sampling_kernel(off_ref, msk_ref, w_ref, b_ref, x_hbm, out_ref,
                      use_matmul: bool):
     """One (batch, row-slab) grid step.
 
+    Every shift term is a STATIC slice of the VMEM slab (the Python loops
+    unroll at trace time) — no dynamic rotates/slices at all, so the tile
+    can stay in the input dtype and Mosaic has nothing exotic to lower.
+    `@pl.when` guards keep runtime cost proportional to the shifts the
+    slab's offsets actually use (smooth/trained offsets skip most terms).
+
     x_hbm: (B, Hp, Wp8, C) padded input, ANY memory space.
     off_ref: (1, TH, W, 2*kh*kw) block. msk_ref: (1, TH, W, kh*kw).
     w_ref: (kh*kw, C, cout). b_ref: (1, cout). out_ref: (1, TH, W, cout).
@@ -110,8 +116,6 @@ def _sampling_kernel(off_ref, msk_ref, w_ref, b_ref, x_hbm, out_ref,
     cp.start()
     cp.wait()
 
-    nsh = 2 * R + 1
-
     for t in range(kh * kw):
         i, j = divmod(t, kw)
         dy = jnp.clip(off_ref[0, :, :, 2 * t].astype(jnp.float32), -R, R) \
@@ -121,25 +125,16 @@ def _sampling_kernel(off_ref, msk_ref, w_ref, b_ref, x_hbm, out_ref,
 
         acc_ref[...] = jnp.zeros((TH, W, C), jnp.float32)
 
-        def body(k, _, i=i, j=j, dy=dy, dx=dx):
-            vy = k // nsh + (i - padding - R)
-            vx = jax.lax.rem(k, nsh) + (j - padding - R)
-            ay = jnp.maximum(1.0 - jnp.abs(dy - vy.astype(jnp.float32)), 0.0)
-            ax = jnp.maximum(1.0 - jnp.abs(dx - vx.astype(jnp.float32)), 0.0)
-            wgt = ay * ax
+        for vy in range(i - padding - R, i - padding + R + 1):
+            ay = jnp.maximum(1.0 - jnp.abs(dy - vy), 0.0)
+            for vx in range(j - padding - R, j - padding + R + 1):
+                ax = jnp.maximum(1.0 - jnp.abs(dx - vx), 0.0)
+                wgt = ay * ax
 
-            @pl.when(jnp.max(wgt) > 0.0)
-            def _():
-                # Row shift: dynamic slice on the untiled leading dim.
-                # Column shift: dynamic rotate + static slice (wrapped
-                # columns land beyond [0, W) and are cut off; halo >= |vx|).
-                rows = x_tile[pl.ds(vy + M, TH), :, :]
-                rolled = pltpu.roll(rows, -(vx + M), axis=1)
-                acc_ref[...] += wgt[:, :, None] * rolled[:, :W, :]
-
-            return 0
-
-        jax.lax.fori_loop(0, nsh * nsh, body, 0)
+                @pl.when(jnp.max(wgt) > 0.0)
+                def _(vy=vy, vx=vx, wgt=wgt):
+                    xs = x_tile[vy + M:vy + M + TH, vx + M:vx + M + W, :]
+                    acc_ref[...] += wgt[:, :, None] * xs.astype(jnp.float32)
 
         sampled = acc_ref[...]
         if msk_ref is not None:
@@ -162,13 +157,15 @@ def _sampling_kernel(off_ref, msk_ref, w_ref, b_ref, x_hbm, out_ref,
             b_ref[0].astype(out_ref.dtype), (TH, W, cout))
 
 
-def _pad_input(x, m: int, cpad: int):
+def _pad_input(x, m: int, cpad: int, dtype=None):
     """Zero-pad NHWC input: halo m on H/W (width rounded to the 8-sublane
-    tiling), channels to cpad; f32 for the in-kernel dynamic rotate."""
+    tiling), channels to cpad. The warp kernel requires f32 (its dynamic
+    rotate only supports 32-bit data); the DCN kernel slices statically and
+    keeps the input dtype."""
     b, h, w, c = x.shape
     wp8 = _round8(w + 2 * m)
-    return jnp.pad(x, ((0, 0), (m, m), (m, wp8 - w - m), (0, cpad - c))
-                   ).astype(jnp.float32)
+    out = jnp.pad(x, ((0, 0), (m, m), (m, wp8 - w - m), (0, cpad - c)))
+    return out.astype(dtype) if dtype is not None else out
 
 
 @functools.partial(jax.jit, static_argnames=("max_offset", "padding"))
@@ -196,7 +193,7 @@ def deform_conv2d_pallas(
     cpad = _pad128(cin)
     TH = _pick_th(h, w, cpad, cout, M, itemsize=jnp.dtype(dtype).itemsize)
 
-    xp = _pad_input(x, M, cpad)
+    xp = _pad_input(x, M, cpad)  # stays in input dtype (static slices only)
     w_taps = jnp.pad(weight.reshape(kh * kw, cin, cout),
                      ((0, 0), (0, cpad - cin), (0, 0)))
 
@@ -227,7 +224,7 @@ def deform_conv2d_pallas(
         out_specs=pl.BlockSpec((1, TH, w, cout), lambda bi, ri: (bi, ri, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), dtype),
         scratch_shapes=[
-            pltpu.VMEM((TH + 2 * M, _round8(w + 2 * M), cpad), jnp.float32),
+            pltpu.VMEM((TH + 2 * M, _round8(w + 2 * M), cpad), dtype),
             pltpu.VMEM((TH, w, cpad), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -287,7 +284,7 @@ def bounded_warp_pallas(image: jnp.ndarray, flow: jnp.ndarray,
     dtype = image.dtype
     cpad = _pad128(c)
     TH = _pick_th(h, w, cpad, cpad, M, itemsize=jnp.dtype(dtype).itemsize)
-    xp = _pad_input(image, M, cpad)
+    xp = _pad_input(image, M, cpad, dtype=jnp.float32)  # rotate needs f32
 
     kern = functools.partial(_warp_kernel, R=R, TH=TH, W=w, C=cpad)
     out = pl.pallas_call(
