@@ -159,3 +159,59 @@ def test_trainer_end_to_end_tiny(tmp_path, rng):
     trainer2 = Trainer(cfg2)
     assert trainer2.start_epoch == 1
     trainer2.ckpt.close()
+
+
+def test_joint_flow_training_step(rng):
+    """temporal_weight > 0 + flow_module: the temporal term is LIVE and the
+    flow estimator receives gradients (the reference never could,
+    train.py:72-80)."""
+    from vfi_tpu.models.flownet import SimpleFlowNet
+    from vfi_tpu.train.loop import make_train_step
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    flow = SimpleFlowNet(mid_channels=8, levels=2)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    mp = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    fp = jax.jit(flow.init)(jax.random.PRNGKey(1), x, x)
+    params = {"model": mp, "flow": fp}
+
+    weights = LossWeights(charbonnier=1.0, vgg=0.0, color=0.0,
+                          gradient=0.0, temporal=0.2)
+    step = jax.jit(make_train_step(model, None, 0, weights, flow_module=flow),
+                   donate_argnums=0)
+    state = create_train_state(params, 1e-3)
+
+    f0 = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    f1 = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    ft = (f0 + f1) / 2
+    before = jax.tree.map(np.asarray, state.params["flow"])
+    state, metrics = step(state, None, f0, ft, f1)
+    assert "temporal" in metrics and np.isfinite(float(metrics["temporal"]))
+    assert "flow_photo" in metrics  # the term that actually trains the flow
+    # (the temporal term alone cannot: its nearest warp has zero flow grad)
+    after = state.params["flow"]
+    moved = any(not np.allclose(np.asarray(a), b)
+                for a, b in zip(jax.tree.leaves(after), jax.tree.leaves(before)))
+    assert moved, "flow estimator params did not receive gradients"
+
+
+def test_best_val_watermark_survives_resume(tmp_path, rng):
+    """Regression: resuming must restore best_val, else a worse post-resume
+    epoch overwrites the best-model file."""
+    from vfi_tpu.train.checkpoints import CheckpointManager
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 8, 8, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    state = create_train_state(params, 1e-3)
+    sched = PlateauScheduler(lr=1e-3)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+    mgr.save(epoch=5, state=state, scheduler=sched,
+             extra={"val_loss": 0.9, "best_val": 0.42})
+    mgr.wait()
+    _, epoch = mgr.restore(create_train_state(params, 1e-3),
+                           PlateauScheduler(lr=1e-3))
+    assert epoch == 5
+    assert abs(mgr.last_meta["best_val"] - 0.42) < 1e-9
+    mgr.close()

@@ -72,6 +72,7 @@ class CheckpointManager:
             step=restored["step"],
         )
         state = set_learning_rate(state, scheduler.lr)
+        self.last_meta = {k: restored["meta"][k] for k in ("val_loss", "best_val")}
         return state, int(restored["meta"]["epoch"])
 
     def wait(self) -> None:

@@ -49,12 +49,17 @@ IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
                     weights: LossWeights, soft_histogram: bool = False,
-                    remat: bool = False):
+                    remat: bool = False, flow_module=None):
     """Build the jit-able train step: (state, vgg_params, f0, ft, f1) ->
     (state, metrics). vgg_params passed explicitly so its sharding is
     controlled by the caller (not baked in as jit constants). `remat`
     rematerializes the forward during backprop (trades FLOPs for HBM —
-    lets batch/resolution scale past activation-memory limits)."""
+    lets batch/resolution scale past activation-memory limits).
+
+    `flow_module` (a SimpleFlowNet) activates the temporal-consistency term
+    with JOINT training of the flow estimator — the state's params tree is
+    then {"model": ..., "flow": ...}. The reference never could run this
+    term (its estimator module is missing, reference train.py:72-80)."""
 
     def vgg_loss_fn(vgg_params, a, b):
         from vfi_tpu.ops.resize import resize_bilinear
@@ -70,10 +75,27 @@ def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
     apply_fn = jax.checkpoint(model.apply) if remat else model.apply
 
     def loss_fn(params, vgg_params, f0, ft, f1):
-        pred = apply_fn(params, f0, f1)
+        model_params = params["model"] if flow_module is not None else params
+        pred = apply_fn(model_params, f0, f1)
         vfn = partial(vgg_loss_fn, vgg_params) if vgg_module is not None else None
+        flow_fn = None
+        if flow_module is not None:
+            flow_fn = partial(flow_module.apply, params["flow"])
         tot, terms = total_loss(pred, ft, vfn, weights,
-                                soft_histogram=soft_histogram)
+                                soft_histogram=soft_histogram,
+                                flow_estimator=flow_fn, frame0=f0, frame1=f1)
+        if flow_module is not None:
+            # Auxiliary photometric loss that actually trains the estimator:
+            # the temporal term's nearest-mode warp (reference
+            # loss_functions.py:177) has zero gradient w.r.t. flow, so the
+            # estimator would never learn from it — a latent design flaw of
+            # the reference inherited by its loss definition.
+            from vfi_tpu.ops.warp import warp as warp_op
+
+            flow01 = flow_fn(f0, f1)
+            photo = jnp.mean(jnp.abs(warp_op(f1, flow01, mode="bilinear") - f0))
+            terms["flow_photo"] = photo
+            tot = tot + weights.temporal * photo
         return tot, terms
 
     def train_step(state: TrainState, vgg_params, f0, ft, f1):
@@ -146,6 +168,18 @@ class Trainer:
         # jit the init: eager dispatch is minutes-slow through this
         # environment's remote TPU relay
         params = jax.jit(self.model.init)(rng, small, small)
+
+        # Joint flow-estimator training activates the temporal term.
+        self.flow_module = None
+        if cfg.temporal_weight > 0 and cfg.train_flow_estimator:
+            from vfi_tpu.models.flownet import SimpleFlowNet
+
+            self.flow_module = SimpleFlowNet(
+                mid_channels=cfg.flow_mid_channels, levels=cfg.flow_levels,
+                dtype=dtype)
+            flow_params = jax.jit(self.flow_module.init)(
+                jax.random.PRNGKey(cfg.seed + 2), small, small)
+            params = {"model": params, "flow": flow_params}
         if self.vgg_module is None:
             self.vgg_params = None
         elif cfg.vgg_weights_path:
@@ -164,13 +198,11 @@ class Trainer:
             charbonnier=cfg.charbonnier_weight, vgg=cfg.vgg_weight,
             color=cfg.color_weight, gradient=cfg.gradient_weight,
             temporal=cfg.temporal_weight)
-        if cfg.temporal_weight > 0:
+        if cfg.temporal_weight > 0 and self.flow_module is None:
             # Loud, unlike the reference's silent disable (train.py:72-80).
-            # Wire models.flownet.SimpleFlowNet through total_loss's
-            # flow_estimator to activate the term (planned: joint training).
-            print("[vfi_tpu] temporal_weight > 0 but no flow estimator is "
-                  "configured in the Trainer yet — the temporal term is "
-                  "inactive (matching the reference's shipped behavior).")
+            print("[vfi_tpu] temporal_weight > 0 with train_flow_estimator "
+                  "disabled — the temporal term is inactive (this matches "
+                  "the reference's shipped behavior).")
 
         aug = AugmentConfig(
             crop_size=tuple(cfg.crop_size), random_rotation=cfg.random_rotation,
@@ -200,7 +232,8 @@ class Trainer:
         bsh = batch_sharding(self.mesh)
         raw_train = make_train_step(self.model, self.vgg_module,
                                     self.vgg_layer_index, self.weights,
-                                    cfg.soft_histogram, remat=cfg.remat)
+                                    cfg.soft_histogram, remat=cfg.remat,
+                                    flow_module=self.flow_module)
         self.train_step = jax.jit(
             raw_train,
             in_shardings=(rep, rep, bsh, bsh, bsh),
@@ -214,14 +247,23 @@ class Trainer:
                                  out_shardings=rep)
 
         self._sample_fwd = jax.jit(self.model.apply)  # epoch sample dumps
+        # params-tree accessor: joint flow training nests the model params
+        self._model_params = ((lambda p: p["model"]) if self.flow_module
+                              else (lambda p: p))
         self.ckpt = CheckpointManager(cfg.checkpoint_path, keep=cfg.keep_checkpoints)
         self.start_epoch = 0
         self.best_val = float("inf")
         if cfg.resume and self.ckpt.latest_epoch() is not None:
             self.state, last_epoch = self.ckpt.restore(self.state, self.scheduler)
             self.start_epoch = last_epoch + 1
+            # carry the best-val watermark across resumes, else the best-model
+            # file could be overwritten by a worse post-resume epoch
+            restored_best = float(self.ckpt.last_meta.get("best_val", float("nan")))
+            if np.isfinite(restored_best):
+                self.best_val = restored_best
             print(f"[vfi_tpu] resumed from epoch {last_epoch} "
-                  f"(step {int(self.state.step)}, lr {self.scheduler.lr:.6f})")
+                  f"(step {int(self.state.step)}, lr {self.scheduler.lr:.6f}, "
+                  f"best val {self.best_val:.4f})")
 
         self.state = jax.device_put(self.state, rep)
         self.vgg_params = jax.device_put(self.vgg_params, rep)
@@ -304,7 +346,7 @@ class Trainer:
                 running += float(metrics["loss"])
                 nb += 1
                 if i == 0:
-                    pred = self._sample_fwd(self.state.params,
+                    pred = self._sample_fwd(self._model_params(self.state.params),
                                             batch[0][:1], batch[2][:1])
                     self._dump_sample(np.asarray(pred), epoch)
                 if i % cfg.log_every == 0:
@@ -313,9 +355,14 @@ class Trainer:
             train_loss = running / max(nb, 1)
 
             # ---- validate (weight remainder batches by their true size) ----
+            # pin the val loader's epoch so val crops are identical across
+            # epochs (deterministic val loss; the reference's val is as noisy
+            # as train — SURVEY §3.1 note)
+            self.val_loader.epoch = 0
             val_running, vp, vs, vn = 0.0, 0.0, 0.0, 0
             for batch, true_n in self._device_batches(self.val_loader):
-                m = self.eval_step(self.state.params, self.vgg_params, *batch)
+                m = self.eval_step(self._model_params(self.state.params),
+                                   self.vgg_params, *batch)
                 w = true_n
                 val_running += float(m["loss"]) * w; vp += float(m["psnr"]) * w
                 vs += float(m["ssim"]) * w; vn += w
@@ -339,7 +386,8 @@ class Trainer:
             if val_loss < self.best_val:
                 self.best_val = val_loss
                 from vfi_tpu.train.checkpoints import save_params_npz
-                save_params_npz(self.state.params, cfg.best_model_path + ".npz")
+                save_params_npz(self._model_params(self.state.params),
+                                cfg.best_model_path + ".npz")
                 log(f"  new best val loss {val_loss:.4f} -> {cfg.best_model_path}.npz")
 
             # ---- schedule + checkpoint ----

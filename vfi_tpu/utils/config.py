@@ -77,6 +77,12 @@ class TrainConfig:
     temporal_weight: float = 0.15
     vgg_layer: str = "relu2_2"  # reference: train.py:85
     soft_histogram: bool = False  # differentiable histogram variant
+    # With temporal_weight > 0: jointly train a SimpleFlowNet so the
+    # temporal-consistency term is live (the reference ships no estimator
+    # and silently disables the term, train.py:72-80).
+    train_flow_estimator: bool = True
+    flow_mid_channels: int = 32
+    flow_levels: int = 3
     # Dead keys in the reference (train_config.yaml:24-25) — accepted and
     # ignored for YAML compatibility.
     gradient_order: int = 1
