@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vfi_tpu.data import AugmentConfig, DataLoader, TripletDataset
-from vfi_tpu.losses import LossWeights, VGGPerceptualLoss, total_loss
+from vfi_tpu.losses import LossWeights, total_loss
 from vfi_tpu.models import EMAVFI
 from vfi_tpu.models.vgg import VGG16Features, LAYER_INDEX
 from vfi_tpu.parallel import batch_sharding, make_mesh, replicated, shard_batch
