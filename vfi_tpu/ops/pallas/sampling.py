@@ -70,10 +70,11 @@ def _pick_th(h: int, w: int, cpad: int, cout: int, m: int,
     for th in (32, 16, 8, 4, 2, 1):
         if h % th != 0:
             continue
-        tile = (th + 2 * m) * wp * cpad * 4
+        tile = (th + 2 * m) * wp * cpad * 4       # slab (conservative f32)
+        xs = (th + 2 * m) * w * cpad * 4          # column-shift staging copy
         acc = th * w * cpad * 4
         blocks = 2 * th * w * (_pad128(27) * 2 + _pad128(cout)) * itemsize
-        if tile + acc + blocks <= budget:
+        if tile + xs + acc + blocks <= budget:
             return th
     raise ValueError(
         f"no VMEM-feasible row slab for h={h} w={w} cpad={cpad} halo={m}")
@@ -91,21 +92,24 @@ def pallas_sampling_feasible(h: int, w: int, c: int, cout: int, R: int,
 
 
 def _sampling_kernel(off_ref, msk_ref, w_ref, b_ref, x_hbm, out_ref,
-                     x_tile, acc_ref, sem, *, kh: int, kw: int, R: int,
-                     TH: int, W: int, C: int, cout: int, padding: int,
-                     use_matmul: bool):
+                     x_tile, xs_ref, acc_ref, sem, *, kh: int, kw: int,
+                     R: int, TH: int, W: int, C: int, cout: int,
+                     padding: int, use_matmul: bool):
     """One (batch, row-slab) grid step.
 
-    Every shift term is a STATIC slice of the VMEM slab (the Python loops
-    unroll at trace time) — no dynamic rotates/slices at all, so the tile
-    can stay in the input dtype and Mosaic has nothing exotic to lower.
-    `@pl.when` guards keep runtime cost proportional to the shifts the
-    slab's offsets actually use (smooth/trained offsets skip most terms).
+    Loop structure chosen for what this toolchain's Mosaic can lower
+    (2-D-tiled DMAs hang it; 400+ unrolled conditional regions crash it):
+    per tap, the (2R+1) column shifts unroll STATICALLY (a static
+    sublane-misaligned slice is a plain relayout copy into `xs_ref`), and
+    the (2R+1) row shifts run in a `fori_loop` of dynamic slices on the
+    untiled leading dim — both proven-safe primitives. A `@pl.when` guard
+    skips column shifts no pixel in the slab uses, so smooth/trained
+    offsets cost far less than the worst case.
 
     x_hbm: (B, Hp, Wp8, C) padded input, ANY memory space.
     off_ref: (1, TH, W, 2*kh*kw) block. msk_ref: (1, TH, W, kh*kw).
     w_ref: (kh*kw, C, cout). b_ref: (1, cout). out_ref: (1, TH, W, cout).
-    x_tile: VMEM scratch (TH + 2M, Wp8, C). acc_ref: VMEM (TH, W, C) f32.
+    x_tile/xs_ref: VMEM scratch (TH + 2M, Wp8|W, C). acc_ref: (TH, W, C) f32.
     """
     M = R + 1
     b = pl.program_id(0)
@@ -125,16 +129,28 @@ def _sampling_kernel(off_ref, msk_ref, w_ref, b_ref, x_hbm, out_ref,
 
         acc_ref[...] = jnp.zeros((TH, W, C), jnp.float32)
 
-        for vy in range(i - padding - R, i - padding + R + 1):
-            ay = jnp.maximum(1.0 - jnp.abs(dy - vy), 0.0)
-            for vx in range(j - padding - R, j - padding + R + 1):
-                ax = jnp.maximum(1.0 - jnp.abs(dx - vx), 0.0)
-                wgt = ay * ax
+        for vx in range(j - padding - R, j - padding + R + 1):
+            ax = jnp.maximum(1.0 - jnp.abs(dx - vx), 0.0)
 
-                @pl.when(jnp.max(wgt) > 0.0)
-                def _(vy=vy, vx=vx, wgt=wgt):
-                    xs = x_tile[vy + M:vy + M + TH, vx + M:vx + M + W, :]
-                    acc_ref[...] += wgt[:, :, None] * xs.astype(jnp.float32)
+            @pl.when(jnp.max(ax) > 0.0)
+            def _(vx=vx, ax=ax, i=i):
+                # static column shift: relayout copy of the slab
+                xs_ref[...] = x_tile[:, vx + M:vx + M + W, :]
+
+                def vy_body(k, _, ax=ax, i=i):
+                    vy = k + (i - padding - R)
+                    ay = jnp.maximum(
+                        1.0 - jnp.abs(dy - vy.astype(jnp.float32)), 0.0)
+                    wgt = ay * ax
+
+                    @pl.when(jnp.max(wgt) > 0.0)
+                    def _():
+                        rows = xs_ref[pl.ds(vy + M, TH), :, :]
+                        acc_ref[...] += wgt[:, :, None] * rows.astype(jnp.float32)
+
+                    return 0
+
+                jax.lax.fori_loop(0, 2 * R + 1, vy_body, 0)
 
         sampled = acc_ref[...]
         if msk_ref is not None:
@@ -225,6 +241,7 @@ def deform_conv2d_pallas(
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), dtype),
         scratch_shapes=[
             pltpu.VMEM((TH + 2 * M, _round8(w + 2 * M), cpad), dtype),
+            pltpu.VMEM((TH + 2 * M, w, cpad), dtype),
             pltpu.VMEM((TH, w, cpad), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
