@@ -13,14 +13,16 @@ TPU-first:
 - optax optimizer stack, Orbax checkpointing with resume, typed config.
 
 Layout:
-  ops/      core numerical ops (warp, deform_conv, resize, sobel, histogram)
-  models/   Flax modules (EMAVFI flagship model, VGG16 features)
+  ops/      core numerical ops (warp, deform_conv exact/shifts/pallas,
+            resize, sobel, histogram) + ops/pallas/ fused TPU kernels
+  models/   Flax modules (EMAVFI flagship, VGG16 features, SimpleFlowNet)
   losses/   loss stack (charbonnier/VGG-perceptual/color-hist/gradient/temporal)
   data/     triplet dataset + synchronized augmentations + prefetching loader
+  native/   C++ loader core (PNG decode + fused preprocess, ctypes)
   parallel/ device mesh + sharding helpers
-  train/    train state, plateau scheduler, training loop
+  train/    train state, plateau scheduler, orbax checkpoints, training loop
   infer/    frame-pair and video interpolation pipelines
-  utils/    config, PSNR/SSIM metrics, PyTorch checkpoint converter
+  utils/    config, PSNR/SSIM metrics, .flo IO, converter, profiling
 """
 
 __version__ = "0.1.0"
