@@ -180,3 +180,33 @@ def test_temporal_loss_with_flownet(rng):
                             frame0=f0, frame1=f1)
     assert "temporal" in terms
     assert np.isfinite(float(tot))
+
+
+def test_vgg16_converter_structure(rng):
+    """convert_vgg16_state_dict maps torchvision feature indices onto
+    VGG16Features conv0..conv9 with OIHW->HWIO transposes."""
+    from vfi_tpu.models.vgg import VGG16Features
+    from vfi_tpu.utils.convert import convert_vgg16_state_dict
+
+    plan = [(64, 3), (64, 64), (128, 64), (128, 128), (256, 128),
+            (256, 256), (256, 256), (512, 256), (512, 512), (512, 512)]
+    torch_idx = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21)
+    sd = {}
+    for (cout, cin), ti in zip(plan, torch_idx):
+        sd[f"features.{ti}.weight"] = rng.standard_normal(
+            (cout, cin, 3, 3)).astype(np.float32)
+        sd[f"features.{ti}.bias"] = rng.standard_normal((cout,)).astype(np.float32)
+    params = convert_vgg16_state_dict(sd)
+
+    module = VGG16Features(max_stage=3)
+    expected = jax.eval_shape(module.init, jax.random.PRNGKey(0),
+                              jnp.zeros((1, 32, 32, 3), jnp.float32))
+    got_paths = jax.tree_util.tree_flatten_with_path(params)[0]
+    exp_paths = jax.tree_util.tree_flatten_with_path(expected)[0]
+    assert [p for p, _ in got_paths] == [p for p, _ in exp_paths]
+    for (path, a), (_, b) in zip(got_paths, exp_paths):
+        assert a.shape == b.shape, f"{path}: {a.shape} != {b.shape}"
+    # spot-check transpose
+    np.testing.assert_array_equal(
+        params["params"]["conv0"]["kernel"][0, 1, 2, 3],
+        sd["features.0.weight"][3, 2, 0, 1])
