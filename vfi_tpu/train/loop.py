@@ -47,9 +47,17 @@ IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
+def _unit_range(ft):
+    """Invert the ImageNet normalization of the target -> [0,1]."""
+    mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 1, 1, 3).astype(ft.dtype)
+    std = jnp.asarray(IMAGENET_STD).reshape(1, 1, 1, 3).astype(ft.dtype)
+    return jnp.clip(ft * std + mean, 0.0, 1.0)
+
+
 def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
                     weights: LossWeights, soft_histogram: bool = False,
-                    remat: bool = False, flow_module=None):
+                    remat: bool = False, flow_module=None,
+                    target_unit_range: bool = False):
     """Build the jit-able train step: (state, vgg_params, f0, ft, f1) ->
     (state, metrics). vgg_params passed explicitly so its sharding is
     controlled by the caller (not baked in as jit constants). `remat`
@@ -77,6 +85,8 @@ def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
     def loss_fn(params, vgg_params, f0, ft, f1):
         model_params = params["model"] if flow_module is not None else params
         pred = apply_fn(model_params, f0, f1)
+        if target_unit_range:
+            ft = _unit_range(ft)
         vfn = partial(vgg_loss_fn, vgg_params) if vgg_module is not None else None
         flow_fn = None
         if flow_module is not None:
@@ -110,19 +120,18 @@ def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
 
 
 def make_eval_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
-                   weights: LossWeights, soft_histogram: bool = False):
-    """Val step: loss + prediction + PSNR/SSIM (vs the normalized target
-    un-normalized back to [0,1] space for the quality metrics)."""
+                   weights: LossWeights, soft_histogram: bool = False,
+                   target_unit_range: bool = False):
+    """Val step: loss + prediction + PSNR/SSIM (vs the target un-normalized
+    back to [0,1] space for the quality metrics)."""
 
     def eval_step(params, vgg_params, f0, ft, f1):
         pred = model.apply(params, f0, f1)
-        # loss in the training convention (pred [0,1] vs normalized target)
-        tot, terms = total_loss(pred, ft, None, weights,
-                                soft_histogram=soft_histogram)
-        # quality metrics in [0,1] space
-        mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 1, 1, 3)
-        std = jnp.asarray(IMAGENET_STD).reshape(1, 1, 1, 3)
-        gt01 = jnp.clip(ft * std + mean, 0.0, 1.0)
+        gt01 = _unit_range(ft)
+        # loss in the training convention (reference default: pred [0,1]
+        # vs normalized target)
+        tot, terms = total_loss(pred, gt01 if target_unit_range else ft,
+                                None, weights, soft_histogram=soft_histogram)
         return {"loss": tot, **terms,
                 "psnr": jnp.mean(psnr(pred, gt01)),
                 "ssim": jnp.mean(ssim(pred, gt01))}
@@ -233,7 +242,8 @@ class Trainer:
         raw_train = make_train_step(self.model, self.vgg_module,
                                     self.vgg_layer_index, self.weights,
                                     cfg.soft_histogram, remat=cfg.remat,
-                                    flow_module=self.flow_module)
+                                    flow_module=self.flow_module,
+                                    target_unit_range=cfg.target_unit_range)
         self.train_step = jax.jit(
             raw_train,
             in_shardings=(rep, rep, bsh, bsh, bsh),
@@ -241,7 +251,8 @@ class Trainer:
             donate_argnums=(0,))
         raw_eval = make_eval_step(self.model, self.vgg_module,
                                   self.vgg_layer_index, self.weights,
-                                  cfg.soft_histogram)
+                                  cfg.soft_histogram,
+                                  target_unit_range=cfg.target_unit_range)
         self.eval_step = jax.jit(raw_eval,
                                  in_shardings=(rep, rep, bsh, bsh, bsh),
                                  out_shardings=rep)

@@ -81,6 +81,13 @@ class TrainConfig:
     # temporal-consistency term is live (the reference ships no estimator
     # and silently disables the term, train.py:72-80).
     train_flow_estimator: bool = True
+    # The reference compares its [0,1] prediction against ImageNet-NORMALIZED
+    # targets (SURVEY §3.1: train.py:40-43 vs ema_vfi.py:146) — the loss then
+    # optimizes toward clip(normalized_gt, 0, 1), capping reconstruction
+    # quality. False (default) preserves that trained behavior for
+    # checkpoint parity; True un-normalizes the target to [0,1] so the loss
+    # matches the model's output range (much higher PSNR).
+    target_unit_range: bool = False
     flow_mid_channels: int = 32
     flow_levels: int = 3
     # Dead keys in the reference (train_config.yaml:24-25) — accepted and
