@@ -79,3 +79,12 @@ def test_flo_reads_bundled_middlebury_gt():
     assert 0.5 < mask.mean() <= 1.0
     # valid magnitudes are small (RubberWhale is a slow scene)
     assert np.abs(flow[mask]).max() < 10.0
+
+
+def test_ssim_bf16_inputs_stay_in_range(rng):
+    """Regression: bf16 inputs must not blow SSIM out of [-1, 1] (the
+    E[x^2]-mu^2 cancellation explodes in low precision)."""
+    x = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 0.2, x.shape), 0, 1).astype(np.float32)
+    s = float(ssim(jnp.asarray(x, jnp.bfloat16), jnp.asarray(y, jnp.bfloat16))[0])
+    assert -1.0 <= s <= 1.0

@@ -19,6 +19,8 @@ def psnr(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0) -> jnp.nd
       pred, target: (B, H, W, C) in [0, max_val].
     Returns: (B,) per-image PSNR in dB.
     """
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     mse = jnp.mean((pred - target) ** 2, axis=(1, 2, 3))
     return 10.0 * jnp.log10((max_val * max_val) / jnp.maximum(mse, 1e-12))
 
@@ -45,7 +47,11 @@ def ssim(
       pred, target: (B, H, W, C) in [0, max_val].
     Returns: (B,) per-image mean SSIM.
     """
-    dtype = pred.dtype
+    # f32 throughout: the sigma = E[x^2] - mu^2 cancellation explodes in
+    # bf16 (observed SSIM < -1, outside the metric's range)
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    dtype = jnp.float32
     c1 = (k1 * max_val) ** 2
     c2 = (k2 * max_val) ** 2
     kern2d = _gaussian_kernel(window_size, sigma, dtype)
@@ -64,8 +70,8 @@ def ssim(
     mu_pp = mu_p * mu_p
     mu_tt = mu_t * mu_t
     mu_pt = mu_p * mu_t
-    sigma_pp = filt(pred * pred) - mu_pp
-    sigma_tt = filt(target * target) - mu_tt
+    sigma_pp = jnp.maximum(filt(pred * pred) - mu_pp, 0.0)
+    sigma_tt = jnp.maximum(filt(target * target) - mu_tt, 0.0)
     sigma_pt = filt(pred * target) - mu_pt
 
     num = (2.0 * mu_pt + c1) * (2.0 * sigma_pt + c2)
