@@ -62,16 +62,20 @@ def _pad128(v: int) -> int:
 
 
 def _pick_th(h: int, w: int, cpad: int, cout: int, m: int,
-             itemsize: int = 2, budget: int = 12 * 1024 * 1024) -> int:
-    """Largest row-slab height whose VMEM footprint (f32 x-tile + f32
-    accumulator + double-buffered offset/mask/out blocks) fits the budget.
-    Raises ValueError when even TH=1 does not fit (fallback to XLA op)."""
+             itemsize: int = 2, budget: int = 12 * 1024 * 1024,
+             tile_itemsize: int | None = None) -> int:
+    """Largest row-slab height whose VMEM footprint (x-tile + staging copy +
+    f32 accumulator + double-buffered offset/mask/out blocks) fits the
+    budget. Raises ValueError when even TH=1 does not fit (fallback to the
+    XLA op). `tile_itemsize` is the slab/staging dtype size (the DCN kernel
+    keeps the input dtype; the warp kernel needs f32 for its rotate)."""
     wp = _round8(w + 2 * m)
+    tsz = tile_itemsize if tile_itemsize is not None else itemsize
     for th in (32, 16, 8, 4, 2, 1):
         if h % th != 0:
             continue
-        tile = (th + 2 * m) * wp * cpad * 4       # slab (conservative f32)
-        xs = (th + 2 * m) * w * cpad * 4          # column-shift staging copy
+        tile = (th + 2 * m) * wp * cpad * tsz     # slab
+        xs = (th + 2 * m) * w * cpad * tsz        # column-shift staging copy
         acc = th * w * cpad * 4
         blocks = 2 * th * w * (_pad128(27) * 2 + _pad128(cout)) * itemsize
         if tile + xs + acc + blocks <= budget:
@@ -207,7 +211,8 @@ def deform_conv2d_pallas(
     M = R + 1
     dtype = x.dtype
     cpad = _pad128(cin)
-    TH = _pick_th(h, w, cpad, cout, M, itemsize=jnp.dtype(dtype).itemsize)
+    TH = _pick_th(h, w, cpad, cout, M, itemsize=jnp.dtype(dtype).itemsize,
+                  tile_itemsize=jnp.dtype(dtype).itemsize)
 
     xp = _pad_input(x, M, cpad)  # stays in input dtype (static slices only)
     w_taps = jnp.pad(weight.reshape(kh * kw, cin, cout),
@@ -300,7 +305,8 @@ def bounded_warp_pallas(image: jnp.ndarray, flow: jnp.ndarray,
     M = R + 1
     dtype = image.dtype
     cpad = _pad128(c)
-    TH = _pick_th(h, w, cpad, cpad, M, itemsize=jnp.dtype(dtype).itemsize)
+    TH = _pick_th(h, w, cpad, cpad, M, itemsize=jnp.dtype(dtype).itemsize,
+                  tile_itemsize=4)  # warp tile is f32 (dynamic rotate)
     xp = _pad_input(image, M, cpad, dtype=jnp.float32)  # rotate needs f32
 
     kern = functools.partial(_warp_kernel, R=R, TH=TH, W=w, C=cpad)
