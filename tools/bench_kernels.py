@@ -1,104 +1,113 @@
-"""Kernel/component microbenchmarks on the live TPU.
+"""Amortized per-layer DCN kernel benchmark (TPU).
 
-Timing methodology for this environment (see docs/PERFORMANCE.md): the axon
-relay makes `block_until_ready` unreliable, so every sample materializes a
-host scalar; a fixed ~25 ms relay round-trip rides on each call. Run one
-configuration at a time — concurrent processes contend for the single
-remote-compile worker and the device grant.
+The axon relay adds ~25 ms per host round-trip and `block_until_ready` is
+unreliable, so single-call timings are useless for kernel work. This tool
+chains K kernel invocations inside ONE jit (x_{k+1} = kernel(x_k), offsets
+fixed) and materializes a single scalar — relay overhead is paid once and
+divided by K.
 
-Usage: python tools/bench_kernels.py [--height 480 --width 640 --iters 10]
+Usage (on the TPU):
+    python tools/bench_kernels.py [--size vga|720p] [--iters 16]
 """
-
 from __future__ import annotations
 
 import argparse
+import functools
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
+import jax
+import jax.numpy as jnp
+import numpy as np
 
-def bench(name, fn, *args, iters=10):
-    import jax
-    import jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
-    g = jax.jit(lambda *a: fn(*a).mean())
-    t0 = time.time()
-    float(g(*args))
-    compile_s = time.time() - t0
-    t0 = time.time()
-    for _ in range(iters):
-        float(g(*args))
-    dt = (time.time() - t0) / iters
-    print(f"{name}: {dt * 1000:8.1f} ms/call   (compile {compile_s:.0f}s)",
-          flush=True)
-    return dt
+from vfi_tpu.ops.deform_conv_shifts import deform_conv2d_shifts
+from vfi_tpu.ops.pallas.sampling import (deform_conv2d_pallas,
+                                         deform_conv2d_pallas_v4)
+
+SIZES = {"vga": (480, 640), "720p": (720, 1280), "1080p": (1080, 1920)}
 
 
-def main() -> int:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--height", type=int, default=480)
-    parser.add_argument("--width", type=int, default=640)
-    parser.add_argument("--iters", type=int, default=10)
-    parser.add_argument("--only", default=None,
-                        help="substring filter of benchmark names")
-    args = parser.parse_args()
+def make_inputs(h, w, c, r, regime, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(1, h, w, c), jnp.bfloat16)
+    if regime == "zero":
+        off = np.zeros((1, h, w, 18), np.float32)
+    elif regime == "trained":
+        off = rng.uniform(-0.3, 0.3, (1, h, w, 18)).astype(np.float32)
+    else:  # worst
+        off = rng.uniform(-r, r, (1, h, w, 18)).astype(np.float32)
+    offset = jnp.asarray(off, jnp.bfloat16)
+    mask = jnp.asarray(rng.uniform(0.3, 0.9, (1, h, w, 9)), jnp.bfloat16)
+    weight = jnp.asarray(rng.randn(3, 3, c, c) * 0.05, jnp.bfloat16)
+    bias = jnp.zeros((c,), jnp.bfloat16)
+    return x, offset, mask, weight, bias
 
-    import numpy as np
 
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
+def chain(fn, k):
+    """Return jit(f) that applies `fn` k times with x as carry."""
+    @jax.jit
+    def run(x, offset, mask, weight, bias):
+        def body(xc, _):
+            y = fn(xc, offset, mask, weight, bias)
+            # keep magnitudes sane across iterations
+            y = y * jnp.bfloat16(0.1)
+            return y, ()
+        y, _ = jax.lax.scan(body, x, None, length=k)
+        return jnp.mean(y.astype(jnp.float32))
+    return run
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    from vfi_tpu.ops import deform_conv2d, deform_conv2d_shifts, warp
-    from vfi_tpu.ops.pallas.sampling import (bounded_warp_pallas,
-                                             deform_conv2d_pallas)
+def measure(fn, args, k, reps=3):
+    run = chain(fn, k)
+    _ = float(run(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = float(run(*args))
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+    return (best - 0.025) / k * 1000.0  # ms per layer, relay subtracted
 
-    B, H, W, C, CO, k, R = 1, args.height, args.width, 67, 67, 3, 3
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
-    off = jnp.asarray(np.clip(rng.standard_normal((B, H, W, 2 * k * k)) * 1.2,
-                              -R + .01, R - .01), jnp.bfloat16)
-    msk = jnp.asarray(rng.uniform(0, 1, (B, H, W, k * k)), jnp.bfloat16)
-    wgt = jnp.asarray(rng.standard_normal((k, k, C, CO)) * 0.1, jnp.bfloat16)
-    img = jnp.asarray(rng.standard_normal((B, H, W, 3)), jnp.bfloat16)
-    flow = jnp.asarray(np.clip(rng.standard_normal((B, H, W, 2)) * 5,
-                               -15.9, 15.9), jnp.bfloat16)
-    dn = lax.conv_dimension_numbers(x.shape, wgt.shape, ("NHWC", "HWIO", "NHWC"))
 
-    cases = [
-        ("conv3x3 67ch",
-         lambda a: lax.conv_general_dilated(a, wgt, (1, 1), "SAME",
-                                            dimension_numbers=dn), (x,)),
-        ("dcn exact (gather)",
-         lambda a, o, m: deform_conv2d(a, o, m, wgt, None), (x, off, msk)),
-        ("dcn shifts R2 unrolled",
-         lambda a, o, m: deform_conv2d_shifts(a, o, m, wgt, None,
-                                              max_offset=2), (x, off, msk)),
-        ("dcn shifts R3 scan",
-         lambda a, o, m: deform_conv2d_shifts(a, o, m, wgt, None,
-                                              max_offset=3, unroll=False),
-         (x, off, msk)),
-        ("dcn pallas R3",
-         lambda a, o, m: deform_conv2d_pallas(a, o, m, wgt, None,
-                                              max_offset=3), (x, off, msk)),
-        ("warp xla (gather)", lambda a, f: warp(a, f), (img, flow)),
-        ("warp pallas R16",
-         lambda a, f: bounded_warp_pallas(a, f, max_flow=16), (img, flow)),
-    ]
-    for name, fn, operands in cases:
-        if args.only and args.only not in name:
-            continue
-        try:
-            bench(name, fn, *operands, iters=args.iters)
-        except Exception as e:
-            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:120]}",
-                  flush=True)
-    return 0
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", default="vga", choices=list(SIZES))
+    p.add_argument("--iters", type=int, default=16)
+    p.add_argument("--radius", type=int, default=2)
+    p.add_argument("--channels", type=int, default=67)
+    p.add_argument("--kernels", default="xla,pallas")
+    args = p.parse_args()
+    h, w = SIZES[args.size]
+    r = args.radius
+    print(f"devices: {jax.devices()}  size={args.size} ({h}x{w}) "
+          f"C={args.channels} R={r} iters={args.iters}", flush=True)
+
+    kernels = {}
+    if "xla" in args.kernels:
+        kernels["xla-shifts"] = functools.partial(
+            deform_conv2d_shifts, max_offset=r)
+    if "pallas" in args.kernels:
+        kernels["pallas-v3"] = functools.partial(
+            deform_conv2d_pallas, max_offset=r)
+    if "v4" in args.kernels:
+        kernels["pallas-v4"] = functools.partial(
+            deform_conv2d_pallas_v4, max_offset=r)
+
+    for regime in ("zero", "trained", "worst"):
+        inp = make_inputs(h, w, args.channels, r, regime)
+        for name, fn in kernels.items():
+            try:
+                ms = measure(fn, inp, args.iters)
+                print(f"  {regime:8s} {name:12s} {ms:8.2f} ms/layer",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"  {regime:8s} {name:12s} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    main()

@@ -9,27 +9,30 @@ bounded shift decomposition executed entirely in VMEM:
 
     sample(x, p + d) = sum_{v} tri(d_y - v_y) tri(d_x - v_x) x[p + v]
 
-with the displacement clamped to [-R, R]. The kernel:
+with the displacement clamped to [-R, R]. Two DCN kernel generations live
+here: `_sampling_kernel` (v3, the original proven structure) and
+`_sampling_kernel_v4` (the production forward — hoisted column staging,
+scalar SMEM predicates, all-bf16 blends; 2-3x v3, see its docstring and
+docs/PERFORMANCE.md for measured numbers). Both:
 
-- DMAs one full-width row slab (+ halo) of the pre-padded input from HBM
+- DMA one full-width row slab (+ halo) of the pre-padded input from HBM
   into VMEM once per grid step — x is read ~once per layer;
-- loops the (2R+1)^2 candidate integer shifts with `jax.lax.fori_loop`
-  (compile-time independent of R) — row shifts are dynamic slices on the
-  untiled leading dim, column shifts a dynamic rotate + static slice (the
-  Mosaic-legal forms); a `@pl.when` guard skips shifts no pixel in the slab
-  uses, so smooth displacement fields cost far less than the worst case;
-- computes tri-weights, modulation mask, and accumulation on the VPU and
-  the per-tap channel matmul on the MXU.
+- decompose sampling into the bounded integer shifts, skipping shifts no
+  pixel in the slab uses so smooth/trained displacement fields cost far
+  less than the worst case;
+- compute tri-weights and blends on the VPU, tap contractions on the MXU.
 
 Hardware constraints encoded here (each cost a failed compile to learn):
-dynamic sublane offsets must be 8-aligned (hence the rotate), dynamic_rotate
-needs 32-bit data (hence the f32 tile), manual HBM DMA slices need
-128-aligned minor dims (hence channel padding), VMEM sublane extents must be
-multiples of 8 (hence width rounding), and bf16 cannot represent pixel
-coordinates > 256 (all weight math in f32). Tiling is row-slab only — a
-2-D-tiled variant (two dynamic-start DMA dims) hangs the Mosaic compiler on
-this toolchain, so problems whose full-width slab cannot fit VMEM report
-infeasible and callers fall back to the XLA shifts op (see
+dynamic sublane offsets must be 8-aligned, dynamic_rotate needs 32-bit
+data, minor-dim insertion (`w[:, :, None]`) needs 32-bit dtypes (insert in
+f32, then cast), manual HBM DMA slices need 128-aligned minor dims (hence
+channel padding), VMEM sublane extents must be multiples of 8, bf16 cannot
+represent pixel coordinates > 256 (all coordinate math in f32), and VMEM
+stack slots are NOT reused across statically-unrolled `pl.when` regions
+(big temporaries belong inside fori_loop bodies). Tiling is row-slab only
+— a 2-D-tiled variant (two dynamic-start DMA dims) hangs the Mosaic
+compiler on this toolchain, so problems whose full-width slab cannot fit
+VMEM report infeasible and callers fall back to the XLA shifts op (see
 `pallas_sampling_feasible`).
 
 Semantics match `deform_conv2d` / `warp` (zeros padding, align_corners
@@ -251,6 +254,290 @@ def deform_conv2d_pallas(
             pltpu.SemaphoreType.DMA,
         ],
     )(*operands)
+    return out
+
+
+def _pick_th_v4(h: int, w: int, cpad: int, coutp: int, m: int, kh: int,
+                itemsize: int = 2, budget: int = 24 * 1024 * 1024,
+                stage_columns: bool = True) -> int:
+    """Row-slab height for the v4 kernel's buffer set: bf16 slab
+    (+ optionally one staged column-shift copy) + a kh-tap-group sample
+    buffer + f32 output accumulator + double-buffered offset/mask/out
+    blocks."""
+    wp = _round8(8 + w + m)  # left pad 8 so the ux=0 slice is sublane-aligned
+    for th in (32, 16, 8, 4, 2, 1):
+        if h % th != 0:
+            continue
+        slab = (th + 2 * m) * wp * cpad * itemsize
+        xs = (th + 2 * m) * w * cpad * itemsize if stage_columns else 0
+        samp = th * w * cpad * itemsize
+        planes = 2 * 3 * kh * kh * _round8(th) * w * 4  # dbl-buffered f32
+        blocks = 2 * th * w * coutp * itemsize          # out
+        if slab + xs + samp + planes + blocks <= budget:
+            return th
+    raise ValueError(
+        f"no VMEM-feasible v4 row slab for h={h} w={w} cpad={cpad} halo={m}")
+
+
+def _sampling_kernel_v4(pm_ref, bd_ref, w_ref, b_ref, x_hbm, out_ref,
+                        x_tile, xs_ref, samp_ref, sem, *, kh: int,
+                        kw: int, R: int, TH: int, W: int, C: int, cout: int,
+                        padding: int, stage_columns: bool,
+                        _dbg: str = "full"):
+    """v4: absolute-column-shift hoisting, fused row windows inside a
+    fori_loop, scalar SMEM predicates, top-level matmuls.
+
+    Differences vs `_sampling_kernel` (v3), each addressing a measured
+    cost (tools/bench_kernels.py):
+      - column staging is hoisted to the ABSOLUTE shift `ux` and shared by
+        every tap that uses it: <= 2(R+padding)+1 staging copies per slab
+        (7 for R=2) instead of kh*kw*(2R+1) (45); the ux=0 slice is
+        sublane-aligned by construction (left pad 8) and never staged;
+      - ALL skip predicates are scalar compares against per-slab offset
+        min/max bounds precomputed on the host and delivered via SMEM
+        (`bd_ref`), replacing v3's per-(tap, shift) (TH, W) max-reductions
+        whose scalar results serialized the pipeline;
+      - offsets arrive as PRE-CLIPPED f32 planes (`pm_ref`, (1, 3*taps,
+        TH, W): dy*9, dx*9, mask*9), so no per-lane channel extraction
+        happens in the kernel;
+      - per (tap, ux) pair the row-shift window is a FUSED expression of
+        leading-dim slices writing one sample-buffer slot (one store
+        instead of 2R+1 accumulator read-modify-write passes), split into
+        a 3-term core + individually bound-guarded |offset|>1 extras;
+      - matmuls accumulate straight into the bf16 out block at top level
+        (no f32 accumulator scratch, halving accumulation traffic; the
+        XLA shifts op accumulates in the compute dtype too).
+
+    Mosaic constraint that shaped all of this: VMEM stack slots are NOT
+    reused across statically-unrolled `pl.when` regions — any (TH, W, C)
+    temporary inside the 45 per-(tap, ux) guards overflows the 16 MB
+    scoped-vmem stack (observed 63-69 MB at a 32x128 toy size), whether
+    from a dot or a fused elementwise blend. Loop bodies get ONE reused
+    frame, so the per-tap blends run inside a `fori_loop` over the
+    kernel-row index i. Guarded regions outside loops contain only
+    relayout copies (stack-safe, v3-proven).
+
+    bd_ref (SMEM): (1, 1, 4, taps) = rows (dymin, dymax, dxmin, dxmax)
+    of the CLIPPED offsets over this slab. w_ref: (kh*kw, C, cout).
+    samp_ref: (TH, W, C) — one blended-sample buffer, written and
+    consumed within a single (tap, ux) fori iteration.
+    """
+    M = R + 1
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(r * TH, TH + 2 * M)], x_tile, sem)
+    cp.start()
+    cp.wait()
+
+    n_taps = kh * kw
+    out_ref[0] = jnp.broadcast_to(b_ref[0], (TH, W, cout)).astype(
+        out_ref.dtype)
+
+    for ux in range(-(padding + R), (kw - 1 - padding) + R + 1):
+        rel_j = [j for j in range(kw) if abs(ux - (j - padding)) <= R]
+        aligned = (ux == 0)  # left pad 8 => slice offset 8 is aligned
+
+        if stage_columns and not aligned:
+            preds = []
+            for j in rel_j:
+                sx = ux - (j - padding)
+                for i in range(kh):
+                    t = i * kw + j
+                    preds.append(jnp.logical_and(
+                        bd_ref[0, 0, 3, t] > sx - 1,
+                        bd_ref[0, 0, 2, t] < sx + 1))
+            any_pred = functools.reduce(jnp.logical_or, preds)
+
+            @pl.when(any_pred)
+            def _(ux=ux):
+                xs_ref[...] = x_tile[:, 8 + ux:8 + ux + W, :]
+
+        if stage_columns:
+            src, c0 = (x_tile, 8) if aligned else (xs_ref, 0)
+        else:
+            src, c0 = x_tile, 8 + ux
+
+        for j in rel_j:
+            sx = ux - (j - padding)
+
+            def blend(i, _, j=j, sx=sx, src=src, c0=c0):
+                t = i * kw + j
+                pred = jnp.logical_and(bd_ref[0, 0, 3, t] > sx - 1,
+                                       bd_ref[0, 0, 2, t] < sx + 1)
+                # Row slice for relative shift v-R in [-R, R]:
+                # start = M + (i - padding) + (v - R).
+                base = M - padding - R + i
+
+                # Inactive pairs skip EVERYTHING — blend, extras and
+                # matmul (a skipped pair contributes exactly zero). This
+                # is legal here because a fori body is a single codegen
+                # frame: the dot's temporaries do not multiply per tap.
+                @pl.when(pred)
+                def _():
+                    if _dbg == "noblend":
+                        samp_ref[...] = src[pl.ds(base + R, TH),
+                                            c0:c0 + W, :]
+                    elif _dbg == "nowgt":
+                        expr = None
+                        for v in range(R - 1, R + 2):
+                            rows = src[pl.ds(base + v, TH), c0:c0 + W, :]
+                            expr = (rows if expr is None
+                                    else expr + rows.astype(samp_ref.dtype))
+                        samp_ref[...] = expr
+                    else:
+                        # Weight math in f32 (coordinates), then CAST THE
+                        # FINAL WEIGHT TO THE BLEND DTYPE: an all-bf16
+                        # blend halves VMEM traffic and avoids f32 temp
+                        # materialization of the converted rows (the XLA
+                        # shifts op casts its weights to the compute
+                        # dtype the same way, so numerics match).
+                        dy = pm_ref[0, t]
+                        axm = jnp.maximum(
+                            1.0 - jnp.abs(pm_ref[0, n_taps + t] - sx), 0.0
+                        ) * pm_ref[0, 2 * n_taps + t]
+                        expr = None
+                        for v in range(R - 1, R + 2):  # core: |shift| <= 1
+                            ay = jnp.maximum(1.0 - jnp.abs(dy - (v - R)),
+                                             0.0)
+                            wgt = (ay * axm)[:, :, None].astype(
+                                samp_ref.dtype)
+                            rows = src[pl.ds(base + v, TH), c0:c0 + W, :]
+                            term = wgt * rows
+                            expr = term if expr is None else expr + term
+                        samp_ref[...] = expr
+
+                        for v in (list(range(R - 1)) +
+                                  list(range(R + 2, 2 * R + 1))):
+                            predv = jnp.logical_and(
+                                bd_ref[0, 0, 1, t] > (v - R) - 1,
+                                bd_ref[0, 0, 0, t] < (v - R) + 1)
+
+                            @pl.when(predv)
+                            def _(v=v):
+                                ay = jnp.maximum(
+                                    1.0 - jnp.abs(dy - (v - R)), 0.0)
+                                wgt = (ay * axm)[:, :, None].astype(
+                                    samp_ref.dtype)
+                                rows = src[pl.ds(base + v, TH),
+                                           c0:c0 + W, :]
+                                samp_ref[...] += wgt * rows
+
+                    if _dbg != "nodot":
+                        out_ref[0] += jax.lax.dot_general(
+                            samp_ref[...].reshape(TH * W, C),
+                            w_ref[t],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).reshape(TH, W, cout).astype(out_ref.dtype)
+
+                return 0
+
+            jax.lax.fori_loop(0, kh, blend, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "padding",
+                                             "stage_columns", "_dbg"))
+def deform_conv2d_pallas_v4(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    weight: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    max_offset: int = 3,
+    padding: int = 1,
+    stage_columns: bool = True,
+    _dbg: str = "full",
+) -> jnp.ndarray:
+    """Fused bounded-offset DCNv2, v4 inner structure (see
+    `_sampling_kernel_v4`). Same contract as `deform_conv2d_pallas`.
+
+    stage_columns=False reads column-shifted slices directly from the slab
+    (a sublane relayout per load) instead of staging one shifted copy per
+    absolute shift — frees the staging buffer (bigger row slabs) at the
+    price of misaligned loads; which wins is shape-dependent, measure with
+    tools/bench_kernels.py.
+    """
+    b, h, w, cin = x.shape
+    kh, kw, cin_g, cout = weight.shape
+    if cin_g != cin:
+        raise ValueError("groups == 1 only")
+    R = int(max_offset)
+    M = R + 1
+    dtype = x.dtype
+    cpad = _pad128(cin)
+    coutp = _pad128(cout)
+    isz = jnp.dtype(dtype).itemsize
+    TH = _pick_th_v4(h, w, cpad, coutp, M, kh, itemsize=isz,
+                     stage_columns=stage_columns)
+
+    # Slab: halo M on H; width = 8 (left, aligns ux=0) + W + M + rounding.
+    wp8 = _round8(8 + w + M)
+    xp = jnp.pad(x, ((0, 0), (M, M), (8, wp8 - w - 8), (0, cpad - cin)))
+    w_taps = jnp.pad(weight.reshape(kh * kw, cin, cout),
+                     ((0, 0), (0, cpad - cin), (0, 0)))
+
+    # Planar pre-clipped offset/mask planes (B, 3*taps, H, W) f32: the
+    # kernel reads whole (TH, W) planes by leading index instead of
+    # extracting single lanes, and coordinates must be f32 anyway.
+    n_taps = kh * kw
+    msk = mask if mask is not None else jnp.ones((b, h, w, n_taps), dtype)
+    planes = jnp.concatenate([
+        jnp.clip(offset[..., 0::2].astype(jnp.float32), -R, R),
+        jnp.clip(offset[..., 1::2].astype(jnp.float32), -R, R),
+        msk.astype(jnp.float32)], axis=-1).transpose(0, 3, 1, 2)
+
+    # Per-slab offset bounds -> SMEM: rows (dymin, dymax, dxmin, dxmax).
+    nrows = h // TH
+    r5 = planes[:, :2 * n_taps].reshape(b, 2 * n_taps, nrows, TH, w)
+    mn = r5.min(axis=(3, 4)).transpose(0, 2, 1)   # (B, nrows, 2*taps)
+    mx = r5.max(axis=(3, 4)).transpose(0, 2, 1)
+    bounds = jnp.stack([mn[..., :n_taps], mx[..., :n_taps],
+                        mn[..., n_taps:], mx[..., n_taps:]], axis=2)
+
+    base = functools.partial(
+        _sampling_kernel_v4, kh=kh, kw=kw, R=R, TH=TH, W=w, C=cpad,
+        cout=cout, padding=padding, stage_columns=stage_columns, _dbg=_dbg)
+    if stage_columns:
+        kern = base
+        scratch = [pltpu.VMEM((TH + 2 * M, wp8, cpad), dtype),
+                   pltpu.VMEM((TH + 2 * M, w, cpad), dtype)]
+    else:
+        def kern(pm, bd, wr, br, xh, o, slab, samp, sem):
+            return base(pm, bd, wr, br, xh, o, slab, None, samp, sem)
+        scratch = [pltpu.VMEM((TH + 2 * M, wp8, cpad), dtype)]
+    scratch += [
+        pltpu.VMEM((TH, w, cpad), dtype),
+        pltpu.SemaphoreType.DMA,
+    ]
+
+    out = pl.pallas_call(
+        kern,
+        grid=(b, h // TH),
+        in_specs=[
+            pl.BlockSpec((1, 3 * n_taps, TH, w),
+                         lambda bi, ri: (bi, 0, ri, 0)),
+            pl.BlockSpec((1, 1, 4, n_taps), lambda bi, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # bias (1, cout)
+            pl.BlockSpec(memory_space=pl.ANY),           # padded x in HBM
+        ],
+        out_specs=pl.BlockSpec((1, TH, w, cout),
+                               lambda bi, ri: (bi, ri, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), dtype),
+        scratch_shapes=scratch,
+        # v5e VMEM is 128 MiB/core; the default 16 MiB scoped limit is a
+        # portability guideline this single-kernel model does not need.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(planes,
+      bounds,
+      w_taps.astype(dtype),
+      (bias if bias is not None else jnp.zeros((cout,), dtype)
+       ).reshape(1, cout).astype(dtype),
+      xp)
     return out
 
 

@@ -16,23 +16,26 @@ import jax
 import jax.numpy as jnp
 
 from vfi_tpu.ops.deform_conv_shifts import deform_conv2d_shifts
-from vfi_tpu.ops.pallas.sampling import bounded_warp_pallas, deform_conv2d_pallas
+from vfi_tpu.ops.pallas.sampling import (bounded_warp_pallas,
+                                         deform_conv2d_pallas,
+                                         deform_conv2d_pallas_v4)
 from vfi_tpu.ops.warp import warp as warp_xla
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def deform_conv2d_fast(x, offset, mask, weight, bias, max_offset: int = 3):
-    """DCNv2 with bounded offsets: Pallas forward, differentiable backward.
+    """DCNv2 with bounded offsets: Pallas forward (v4 kernel),
+    differentiable backward.
 
     Same contract as `deform_conv2d_shifts` (NHWC, stride 1, og=1, groups=1).
     """
-    return deform_conv2d_pallas(x, offset, mask, weight, bias,
-                                max_offset=max_offset)
+    return deform_conv2d_pallas_v4(x, offset, mask, weight, bias,
+                                   max_offset=max_offset)
 
 
 def _dcn_fwd(x, offset, mask, weight, bias, max_offset):
-    out = deform_conv2d_pallas(x, offset, mask, weight, bias,
-                               max_offset=max_offset)
+    out = deform_conv2d_pallas_v4(x, offset, mask, weight, bias,
+                                  max_offset=max_offset)
     return out, (x, offset, mask, weight, bias)
 
 
