@@ -59,10 +59,12 @@ def main() -> int:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    # Order: proven-fastest first. The Pallas kernels are kept out of the
-    # headline run for now — the Mosaic compiler on this toolchain hangs on
-    # some shapes (docs/PERFORMANCE.md); they remain opt-in via use_pallas.
+    # Order: proven-fastest first. The v4 Pallas DCN kernel beats the XLA
+    # shifts path at every offset regime (docs/PERFORMANCE.md); XLA shifts
+    # and exact-gather remain as degradation rungs if Mosaic fails.
     configs = [
+        ("pallas-v4", dict(dcn_max_offset=2, warp_max_flow=16,
+                           use_pallas=True)),
         ("xla-shifts", dict(dcn_max_offset=2, warp_max_flow=16)),
         ("exact", dict()),
     ]
