@@ -14,6 +14,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vfi_tpu.ops import deform_conv2d, warp
 from vfi_tpu.ops.pallas.sampling import (bounded_warp_pallas,
+                                         bounded_warp_pallas_v2,
                                          deform_conv2d_pallas,
                                          deform_conv2d_pallas_v4)
 
@@ -100,6 +101,19 @@ def test_warp_pallas_matches_ops_warp(rng):
                    -R + 0.01, R - 0.01).astype(np.float32)
     expected = warp(jnp.asarray(img), jnp.asarray(flow))
     got = bounded_warp_pallas(jnp.asarray(img), jnp.asarray(flow), max_flow=R)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape,R", [((1, 16, 24, 3), 4),
+                                     ((2, 8, 140, 3), 16)])
+def test_warp_pallas_v2_matches_ops_warp(rng, shape, R):
+    b, h, w, c = shape
+    img = rng.standard_normal(shape).astype(np.float32)
+    flow = (rng.standard_normal((b, h, w, 2)) * R).astype(np.float32)
+    expected = warp(jnp.asarray(img), jnp.clip(jnp.asarray(flow), -R, R))
+    got = bounded_warp_pallas_v2(jnp.asarray(img), jnp.asarray(flow),
+                                 max_flow=R)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=1e-4, atol=1e-4)
 

@@ -541,6 +541,163 @@ def deform_conv2d_pallas_v4(
     return out
 
 
+def pallas_warp_v2_feasible(h: int, w: int, c: int, R: int,
+                            itemsize: int = 2,
+                            budget: int = 24 * 1024 * 1024) -> bool:
+    """Static check for the strip-packed warp kernel: slab fits VMEM.
+    Cheap for few-channel images (the model's C=3 case is always
+    feasible); wide-channel inputs should use the XLA path."""
+    m = R + 1
+    sw = -(-w // 128)
+    win = _round8(sw + 2 * _round8(m))
+    th = next((t for t in (64, 48, 32, 16, 8, 4, 2, 1) if h % t == 0), 1)
+    return (th + 2 * m) * win * c * 128 * itemsize <= budget
+
+
+def _warp_kernel_v2(pm_ref, bd_ref, x_hbm, out_ref, x_tile, sem, *,
+                    R: int, TH: int, SW: int, WIN: int, G: int, C: int,
+                    PAD0: int):
+    """Strip-packed bounded warp (v2).
+
+    Layout trick that makes a C=3 warp TPU-shaped: the image is packed
+    into G=128 column strips living on the LANE dimension (channel index
+    c*G + g = color c of strip g), so
+      - every (TH, SW, G) per-pixel weight field is naturally full-lane
+        (the flow planes are packed the same way): the weight multiply is
+        a plain same-shape elementwise op — NO minor-dim broadcast, no
+        sublane transpose (the cost that dominated the DCN kernel work);
+      - VMEM traffic carries 384 real channels per vreg instead of 3 of
+        128 (a 42x padding tax in the naive layout).
+    Cost: the packed representation duplicates R+1 halo columns per strip
+    (~1.5-3x HBM for the packed copy — ~0.1 ms at 720p) and the column
+    shift becomes a small misaligned sublane read of a (TH, SW, 3G) tile.
+
+    Shift sparsity: scalar per-slab flow min/max bounds from SMEM guard
+    each column shift (static unroll, 2R+1 regions whose temps are only
+    (TH, SW, G)) and each row shift (inside a fori, branch per step).
+    Smooth real flow fields activate (range+2)^2 of the (2R+1)^2 shifts.
+    """
+    M = R + 1
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(r * TH, TH + 2 * M)], x_tile, sem)
+    cp.start()
+    cp.wait()
+
+    dxp = pm_ref[0, 0]  # (TH, SW, G) f32, pre-clipped
+    dyp = pm_ref[0, 1]
+    dymin = bd_ref[0, 0, 0, 0]
+    dymax = bd_ref[0, 0, 0, 1]
+    dxmin = bd_ref[0, 0, 0, 2]
+    dxmax = bd_ref[0, 0, 0, 3]
+
+    out_ref[0] = jnp.zeros((TH, SW, C * G), out_ref.dtype)
+
+    for ux in range(-R, R + 1):
+        pred = jnp.logical_and(dxmax > ux - 1, dxmin < ux + 1)
+
+        @pl.when(pred)
+        def _(ux=ux):
+            ax = jnp.maximum(1.0 - jnp.abs(dxp - ux), 0.0)
+
+            def vy_body(k, _, ax=ax, ux=ux):
+                vy = k - R
+                predy = jnp.logical_and(
+                    dymax > vy.astype(jnp.float32) - 1,
+                    dymin < vy.astype(jnp.float32) + 1)
+
+                @pl.when(predy)
+                def _():
+                    ay = jnp.maximum(
+                        1.0 - jnp.abs(dyp - vy.astype(jnp.float32)), 0.0)
+                    wgt = (ax * ay).astype(out_ref.dtype)
+                    rows = x_tile[pl.ds(vy + M, TH),
+                                  PAD0 + ux:PAD0 + ux + SW, :]
+                    for c in range(C):
+                        out_ref[0, :, :, c * G:(c + 1) * G] += (
+                            wgt * rows[:, :, c * G:(c + 1) * G])
+
+                return 0
+
+            jax.lax.fori_loop(0, 2 * R + 1, vy_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_flow",))
+def bounded_warp_pallas_v2(image: jnp.ndarray, flow: jnp.ndarray,
+                           max_flow: int = 16) -> jnp.ndarray:
+    """Backward-warp via the strip-packed kernel (see `_warp_kernel_v2`).
+    Same contract as `bounded_warp_pallas`: bilinear, zeros padding,
+    flow channels (dx, dy) in pixels, clipped to [-max_flow, max_flow]."""
+    b, h, w, c = image.shape
+    R = int(max_flow)
+    M = R + 1
+    G = 128
+    SW = -(-w // G)          # strip width (output columns per strip)
+    wp = SW * G              # padded width (zeros; flow there irrelevant)
+    PAD0 = _round8(M)
+    WIN = _round8(SW + 2 * PAD0)
+    dtype = image.dtype
+
+    # Pick TH (multiple-of-8 slab heights that divide H preferred).
+    TH = 1
+    for th in (64, 48, 32, 16, 8, 4, 2, 1):
+        if h % th == 0:
+            TH = th
+            break
+
+    # Pack image into per-strip windows: window g covers image columns
+    # [g*SW - PAD0, g*SW - PAD0 + WIN); channel layout color-major
+    # (c*G + g) so the kernel's color slices are 128-aligned.
+    xpad = jnp.pad(image, ((0, 0), (M, M),
+                           (PAD0, PAD0 + (wp - w) + (WIN - SW - 2 * PAD0)),
+                           (0, 0)))
+    wins = jnp.stack([xpad[:, :, g * SW:g * SW + WIN, :]
+                      for g in range(G)], axis=-1)   # (B, Hp, WIN, C, G)
+    xpk = wins.reshape(b, h + 2 * M, WIN, c * G)
+
+    fl = jnp.clip(flow.astype(jnp.float32), -R, R)
+    fl = jnp.pad(fl, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+    # (B, H, W, 2) -> (B, 2, H, SW, G)
+    pk = jnp.stack([fl[:, :, g * SW:(g + 1) * SW, :]
+                    for g in range(G)], axis=-1)     # (B, H, SW, 2, G)
+    planes = pk.transpose(0, 3, 1, 2, 4)
+
+    nrows = h // TH
+    r5 = planes.reshape(b, 2, nrows, TH, SW, G)
+    mn = r5.min(axis=(3, 4, 5))                       # (B, 2, nrows)
+    mx = r5.max(axis=(3, 4, 5))
+    bounds = jnp.stack([mn[:, 1], mx[:, 1], mn[:, 0], mx[:, 0]],
+                       axis=-1)[:, :, None, :]        # (B, nrows, 1, 4)
+
+    kern = functools.partial(_warp_kernel_v2, R=R, TH=TH, SW=SW, WIN=WIN,
+                             G=G, C=c, PAD0=PAD0)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, nrows),
+        in_specs=[
+            pl.BlockSpec((1, 2, TH, SW, G), lambda bi, ri: (bi, 0, ri, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 4), lambda bi, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, TH, SW, c * G),
+                               lambda bi, ri: (bi, ri, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, SW, c * G), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 2 * M, WIN, c * G), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(planes, bounds, xpk)
+
+    # Unpack: (B, H, SW, C, G) -> (B, H, G, SW, C) -> (B, H, wp, C)
+    out = out.reshape(b, h, SW, c, G).transpose(0, 1, 4, 2, 3)
+    return out.reshape(b, h, wp, c)[:, :, :w, :]
+
+
 def _warp_kernel(flow_ref, x_hbm, out_ref, x_tile, acc_ref, sem, *,
                  R: int, TH: int, W: int, C: int):
     """Backward warp as the k=1 special case (flow = (dx, dy) like the

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from vfi_tpu.ops.deform_conv_shifts import deform_conv2d_shifts
 from vfi_tpu.ops.pallas.sampling import (bounded_warp_pallas,
+                                         bounded_warp_pallas_v2,
                                          deform_conv2d_pallas,
                                          deform_conv2d_pallas_v4)
 from vfi_tpu.ops.warp import warp as warp_xla
@@ -57,15 +58,17 @@ deform_conv2d_fast.defvjp(_dcn_fwd, _dcn_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def warp_fast(image, flow, max_flow: int = 16):
-    """Bounded backward warp: Pallas forward, XLA-gather backward.
+    """Bounded backward warp: Pallas forward (strip-packed v2 kernel),
+    XLA-gather backward.
 
     Matches `ops.warp(image, clip(flow, -R, R))`.
     """
-    return bounded_warp_pallas(image, flow, max_flow=max_flow)
+    return bounded_warp_pallas_v2(image, flow, max_flow=max_flow)
 
 
 def _warp_fwd(image, flow, max_flow):
-    return bounded_warp_pallas(image, flow, max_flow=max_flow), (image, flow)
+    return bounded_warp_pallas_v2(image, flow, max_flow=max_flow), (image,
+                                                                    flow)
 
 
 def _warp_bwd(max_flow, res, g):
