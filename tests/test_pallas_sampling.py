@@ -118,6 +118,55 @@ def test_warp_pallas_v2_matches_ops_warp(rng, shape, R):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_wrappers_grads_match_shifts(rng):
+    """deform_conv2d_fast / warp_fast: Pallas forward + XLA backward must
+    give the same value AND gradients as the pure shifts/warp ops."""
+    from vfi_tpu.ops.deform_conv_shifts import deform_conv2d_shifts
+    from vfi_tpu.ops.pallas.wrappers import deform_conv2d_fast, warp_fast
+
+    b, h, w, cin, cout, k, R = 1, 8, 16, 3, 3, 3, 1
+    x = jnp.asarray(rng.standard_normal((b, h, w, cin)), jnp.float32)
+    off = jnp.asarray(
+        np.clip(rng.standard_normal((b, h, w, 2 * k * k)), -0.9, 0.9),
+        jnp.float32)
+    msk = jnp.asarray(rng.uniform(0, 1, (b, h, w, k * k)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((k, k, cin, cout)) * 0.3,
+                      jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+
+    def loss_fast(x, off, msk, wgt, bias):
+        return deform_conv2d_fast(x, off, msk, wgt, bias, R).sum()
+
+    def loss_ref(x, off, msk, wgt, bias):
+        return deform_conv2d_shifts(x, off, msk, wgt, bias,
+                                    max_offset=R).sum()
+
+    v1, g1 = jax.value_and_grad(loss_fast, argnums=(0, 1, 3))(
+        x, off, msk, wgt, bias)
+    v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1, 3))(
+        x, off, msk, wgt, bias)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+    flow = jnp.asarray(rng.standard_normal((1, 8, 16, 2)) * 2, jnp.float32)
+    img = x
+
+    def wloss_fast(img, flow):
+        return warp_fast(img, flow, 2).sum()
+
+    def wloss_ref(img, flow):
+        return warp(img, jnp.clip(flow, -2, 2)).sum()
+
+    v1, g1 = jax.value_and_grad(wloss_fast, argnums=(0, 1))(img, flow)
+    v2, g2 = jax.value_and_grad(wloss_ref, argnums=(0, 1))(img, flow)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_warp_pallas_saturates(rng):
     b, h, w, c, R = 1, 4, 8, 2, 2
     img = rng.standard_normal((b, h, w, c)).astype(np.float32)

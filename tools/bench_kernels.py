@@ -73,6 +73,60 @@ def measure(fn, args, k, reps=3):
     return (best - 0.025) / k * 1000.0  # ms per layer, relay subtracted
 
 
+def bench_warp(size: str, iters: int, max_flow: int = 16):
+    """Warp benchmark: XLA gather vs the strip-packed Pallas kernel, over
+    smooth and worst-case flow regimes."""
+    import jax.image
+
+    from vfi_tpu.ops.pallas.sampling import bounded_warp_pallas_v2
+    from vfi_tpu.ops.warp import warp as warp_xla
+
+    h, w = SIZES[size]
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(1, h, w, 3), jnp.bfloat16)
+    R = max_flow
+
+    def flows():
+        for name, scale in (("smooth3", 3.0), ("smooth10", 10.0),
+                            ("random", float(R))):
+            if name.startswith("smooth"):
+                base = rng.randn(1, 12, 20, 2).astype(np.float32) * scale
+                f = jax.image.resize(jnp.asarray(base), (1, h, w, 2),
+                                     "linear")
+                yield name, jnp.asarray(f, jnp.bfloat16)
+            else:
+                yield name, jnp.asarray(
+                    rng.uniform(-scale, scale, (1, h, w, 2)), jnp.bfloat16)
+
+    def chain_warp(fn, flow):
+        @jax.jit
+        def run():
+            def body(c, _):
+                y = fn(img, flow + c.astype(jnp.bfloat16) * 0)
+                return c + 1.0, jnp.mean(y.astype(jnp.float32))
+            c, ys = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return jnp.sum(ys)
+        return run
+
+    for name, flow in flows():
+        for kname, fn in (
+                ("xla-gather", lambda i, f: warp_xla(
+                    i, jnp.clip(f, -R, R))),
+                ("pallas-v2", functools.partial(
+                    bounded_warp_pallas_v2, max_flow=R))):
+            run = chain_warp(fn, flow)
+            _ = float(run())
+            best = min(_timed(run) for _ in range(3))
+            print(f"  warp {name:9s} {kname:12s} "
+                  f"{(best - 0.025) / iters * 1000:8.2f} ms", flush=True)
+
+
+def _timed(run):
+    t0 = time.perf_counter()
+    _ = float(run())
+    return time.perf_counter() - t0
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", default="vga", choices=list(SIZES))
@@ -80,7 +134,13 @@ def main():
     p.add_argument("--radius", type=int, default=2)
     p.add_argument("--channels", type=int, default=67)
     p.add_argument("--kernels", default="xla,pallas")
+    p.add_argument("--warp", action="store_true",
+                   help="benchmark the warp kernels instead of DCN")
     args = p.parse_args()
+    if args.warp:
+        print(f"devices: {jax.devices()}  size={args.size}", flush=True)
+        bench_warp(args.size, args.iters)
+        return
     h, w = SIZES[args.size]
     r = args.radius
     print(f"devices: {jax.devices()}  size={args.size} ({h}x{w}) "

@@ -99,7 +99,20 @@ class FrameInterpolator:
             n1 = (f1 - mean) / std
             return self.model.apply(p, n0, n1)
 
-        self._fwd = jax.jit(fwd, in_shardings=(rep, bsh, bsh), out_shardings=bsh)
+        n_data = self.mesh.shape["data"]
+        if use_pallas and not spatial and n_data > 1:
+            # Pallas custom calls have no GSPMD partitioning rule, so the
+            # data-parallel batch axis is mapped explicitly: each chip runs
+            # the kernels on its local shard (params replicated). Spatial
+            # sharding relies on GSPMD halo insertion and therefore stays
+            # on the XLA ops path.
+            from jax.sharding import PartitionSpec as P
+
+            fwd = jax.shard_map(fwd, mesh=self.mesh,
+                                in_specs=(P(), P("data"), P("data")),
+                                out_specs=P("data"), check_vma=False)
+        self._fwd = jax.jit(fwd, in_shardings=(rep, bsh, bsh),
+                            out_shardings=bsh)
 
     def midpoints(self, f0: np.ndarray, f1: np.ndarray) -> jnp.ndarray:
         """Predict the temporal midpoint of each pair.

@@ -202,7 +202,8 @@ class Trainer:
                                         cfg.weight_decay, cfg.grad_clip_norm)
         self.scheduler = PlateauScheduler(lr=cfg.learning_rate,
                                           factor=cfg.plateau_factor,
-                                          patience=cfg.plateau_patience)
+                                          patience=cfg.plateau_patience,
+                                          min_lr=cfg.plateau_min_lr)
         self.weights = LossWeights(
             charbonnier=cfg.charbonnier_weight, vgg=cfg.vgg_weight,
             color=cfg.color_weight, gradient=cfg.gradient_weight,

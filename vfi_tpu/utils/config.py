@@ -55,6 +55,10 @@ class TrainConfig:
     # ReduceLROnPlateau equivalents (reference: train.py:84)
     plateau_factor: float = 0.5
     plateau_patience: int = 5
+    # Floor for the plateau schedule (torch default 0). The reference's
+    # patience=5 with a noisy 7-step/epoch val loss halves the lr every
+    # ~12 epochs — long runs need a floor to keep learning.
+    plateau_min_lr: float = 0.0
 
     # Data (reference: train_config.yaml:4-5, 36-39)
     train_data_dir: str = "data/processed/train"
