@@ -334,6 +334,8 @@ def _sampling_kernel_v4(pm_ref, bd_ref, w_ref, b_ref, x_hbm, out_ref,
     n_taps = kh * kw
     out_ref[0] = jnp.broadcast_to(b_ref[0], (TH, W, cout)).astype(
         out_ref.dtype)
+    if _dbg == "empty":   # DMA + block pipeline + init only
+        return
 
     for ux in range(-(padding + R), (kw - 1 - padding) + R + 1):
         rel_j = [j for j in range(kw) if abs(ux - (j - padding)) <= R]
