@@ -12,6 +12,100 @@ import argparse
 import json
 
 
+def evaluate_flow(flow_fn, frames_dir: str, gt_flow_dir: str,
+                  pair=("frame10", "frame11")) -> dict:
+    """Score a flow estimator against the bundled Middlebury GT flows.
+
+    The reference ships 8 GT flow fields (`data/processed/other-gt-flow/
+    <scene>/flow10.flo`, frame10->frame11 at native 584x388) but never reads
+    them. For each GT scene with frames under `frames_dir/<scene>/`, predicts
+    flow_fn(frame10, frame11) at the frames' resolution, rescales it to the
+    GT grid (bilinear resize + per-component magnitude scaling), and reports
+    mean endpoint error over valid GT pixels.
+
+    flow_fn: (f0, f1) [1,H,W,3] float32 in [0,1] -> (1,H,W,2) flow (dx, dy)
+      in pixels, warp convention `warp(f1, flow) ~ f0`.
+    Returns {"scenes": {name: epe}, "mean_epe": float}.
+    """
+    import glob
+    import os
+
+    import numpy as np
+
+    from vfi_tpu.data.dataset import load_image
+    from vfi_tpu.utils.flo import endpoint_error, read_flo
+
+    results = {}
+    for flo_path in sorted(glob.glob(os.path.join(gt_flow_dir, "*", "flow10.flo"))):
+        scene = os.path.basename(os.path.dirname(flo_path))
+        scene_dir = os.path.join(frames_dir, scene)
+        f0p = _find_frame(scene_dir, pair[0])
+        f1p = _find_frame(scene_dir, pair[1])
+        if f0p is None or f1p is None:
+            continue
+        gt = read_flo(flo_path)                      # (gh, gw, 2)
+        f0 = load_image(f0p)[None]                   # (1, h, w, 3) [0,1]
+        f1 = load_image(f1p)[None]
+        pred = np.asarray(flow_fn(f0, f1))[0]        # (h, w, 2) at frame res
+        gh, gw = gt.shape[:2]
+        h, w = pred.shape[:2]
+        if (gh, gw) != (h, w):
+            import jax.numpy as jnp
+
+            from vfi_tpu.ops.resize import resize_bilinear
+            pred = np.array(resize_bilinear(jnp.asarray(pred)[None],
+                                            (gh, gw)))[0]
+            pred[..., 0] *= gw / w
+            pred[..., 1] *= gh / h
+        results[scene] = endpoint_error(pred, gt)
+    mean = float(sum(results.values()) / max(len(results), 1))
+    return {"scenes": results, "mean_epe": mean}
+
+
+def _flow_main(args) -> int:
+    """Flow-EPE evaluation path of the eval CLI."""
+    import jax
+    import jax.numpy as jnp
+
+    from vfi_tpu.cli.common import load_model_params
+    from vfi_tpu.data.dataset import IMAGENET_MEAN, IMAGENET_STD
+    from vfi_tpu.models.flownet import SimpleFlowNet
+
+    flow_params = load_model_params(args.flow_model)
+    net = SimpleFlowNet(mid_channels=args.flow_mid_channels,
+                        levels=args.flow_levels,
+                        dtype=None if args.fp32 else jnp.bfloat16)
+    apply = jax.jit(net.apply)
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+
+    def flow_fn(f0, f1):
+        # the estimator trains on ImageNet-normalized frames (Trainer feeds
+        # the dataset's normalized batches) — mirror that here
+        f0n = (jnp.asarray(f0) - mean) / std
+        f1n = (jnp.asarray(f1) - mean) / std
+        return apply(flow_params, f0n, f1n).astype(jnp.float32)
+
+    report = evaluate_flow(flow_fn, args.data_dir, args.gt_flow_dir)
+    if args.json:
+        print(json.dumps(report))
+    else:
+        for scene, epe in sorted(report["scenes"].items()):
+            print(f"{scene:20s} EPE {epe:7.3f} px")
+        print(f"{'MEAN':20s} EPE {report['mean_epe']:7.3f} px")
+    return 0
+
+
+def _find_frame(scene_dir: str, stem: str):
+    import os
+
+    for ext in (".png", ".jpg", ".jpeg"):
+        p = os.path.join(scene_dir, stem + ext)
+        if os.path.exists(p):
+            return p
+    return None
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="EMAVFI eval (PSNR/SSIM)")
     parser.add_argument("--data-dir", required=True,
@@ -26,10 +120,22 @@ def main(argv=None) -> int:
     parser.add_argument("--warp_max_flow", type=int, default=None,
                         help="bounded warp flow radius (px)")
     parser.add_argument("--use_pallas", action="store_true")
+    parser.add_argument("--flow_model", default=None,
+                        help="SimpleFlowNet params npz (saved as "
+                             "<best_model_path>.flow.npz by joint training); "
+                             "evaluates flow EPE against --gt_flow_dir "
+                             "instead of PSNR/SSIM")
+    parser.add_argument("--gt_flow_dir", default="data/processed/other-gt-flow",
+                        help="Middlebury GT .flo directory (scene subdirs)")
+    parser.add_argument("--flow_mid_channels", type=int, default=32)
+    parser.add_argument("--flow_levels", type=int, default=3)
     args = parser.parse_args(argv)
 
     from vfi_tpu.cli.common import load_model_params, setup
     setup()
+
+    if args.flow_model:
+        return _flow_main(args)
 
     import os
     from collections import defaultdict

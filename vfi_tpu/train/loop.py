@@ -400,6 +400,12 @@ class Trainer:
                 from vfi_tpu.train.checkpoints import save_params_npz
                 save_params_npz(self._model_params(self.state.params),
                                 cfg.best_model_path + ".npz")
+                if self.flow_module is not None:
+                    # jointly-trained flow estimator: exported alongside so
+                    # `eval.py --gt_flow_dir` can score it against the
+                    # bundled Middlebury GT .flo fields
+                    save_params_npz(self.state.params["flow"],
+                                    cfg.best_model_path + ".flow.npz")
                 log(f"  new best val loss {val_loss:.4f} -> {cfg.best_model_path}.npz")
 
             # ---- schedule + checkpoint ----
