@@ -54,3 +54,40 @@ def test_unknown_key_rejected(tmp_path):
 def test_override_must_be_pairs():
     with pytest.raises(ValueError):
         load_train_config(None, ["--batch_size"])
+
+
+def test_cli_override_scientific_notation_coerces_to_float():
+    """PyYAML (YAML 1.1) parses '2e-5' as a STRING — the loader must coerce
+    to the declared field type. Regression: plateau_min_lr reached the
+    scheduler as a str and crashed max(lr*factor, min_lr) at the first
+    LR-reduction epoch."""
+    cfg = load_train_config(None, ["--plateau_min_lr", "2e-5",
+                                   "--learning_rate", "1e-3"])
+    assert isinstance(cfg.plateau_min_lr, float) and cfg.plateau_min_lr == 2e-5
+    assert isinstance(cfg.learning_rate, float) and cfg.learning_rate == 1e-3
+
+
+def test_cli_override_bool_and_optional_coercion():
+    cfg = load_train_config(None, [
+        "--target_unit_range", "true",
+        "--random_rotation", "false",
+        "--dcn_max_offset", "2",
+        "--warp_max_flow", "none",
+    ])
+    assert cfg.target_unit_range is True
+    assert cfg.random_rotation is False
+    assert cfg.dcn_max_offset == 2 and isinstance(cfg.dcn_max_offset, int)
+    assert cfg.warp_max_flow is None
+
+
+def test_cli_override_tuple_field():
+    cfg = load_train_config(None, ["--crop_size", "[128, 96]"])
+    assert cfg.crop_size == (128, 96)
+    assert all(isinstance(v, int) for v in cfg.crop_size)
+
+
+def test_cli_override_rejects_non_numeric_float():
+    import pytest
+
+    with pytest.raises((ValueError, TypeError)):
+        load_train_config(None, ["--learning_rate", "fast"])

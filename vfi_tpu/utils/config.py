@@ -145,10 +145,70 @@ class InferConfig:
     reference_compat: bool = False
 
 
+def _coerce_scalar(value, hint, path: str):
+    """Coerce a YAML/CLI scalar to the declared field type.
+
+    Needed because PyYAML follows YAML 1.1: `2e-5` (no dot before the
+    exponent) parses as a *string*, and CLI `--key value` overrides go
+    through yaml.safe_load — without coercion a float field can silently
+    hold a str and blow up epochs later (observed: plateau_min_lr reaching
+    `max(float, str)` at the first LR-reduction step)."""
+    import typing
+
+    origin = typing.get_origin(hint)
+    if origin is typing.Union:  # Optional[X] and friends
+        args = [a for a in typing.get_args(hint) if a is not type(None)]
+        if value is None or (isinstance(value, str)
+                             and value.lower() in ("none", "null")):
+            return None
+        for a in args:
+            try:
+                return _coerce_scalar(value, a, path)
+            except (TypeError, ValueError):
+                continue
+        raise ValueError(f"Config key {path}: cannot coerce {value!r} to {hint}")
+    if origin in (tuple, list):
+        args = typing.get_args(hint)
+        if not isinstance(value, (tuple, list)):
+            raise ValueError(f"Config key {path}: expected sequence, got {value!r}")
+        if args and args[-1] is not Ellipsis and len(args) == len(value):
+            return tuple(_coerce_scalar(v, a, path) for v, a in zip(value, args))
+        elem = args[0] if args else None
+        return tuple(_coerce_scalar(v, elem, path) if elem else v for v in value)
+    if hint is bool or isinstance(value, bool):
+        if isinstance(value, bool):
+            return value
+        if isinstance(value, str):
+            low = value.lower()
+            if low in ("true", "yes", "1", "on"):
+                return True
+            if low in ("false", "no", "0", "off"):
+                return False
+        if isinstance(value, int) and hint is bool:
+            return bool(value)
+        raise ValueError(f"Config key {path}: expected bool, got {value!r}")
+    if hint is float:
+        return float(value)
+    if hint is int:
+        f = float(value)
+        if f != int(f):
+            raise ValueError(f"Config key {path}: expected int, got {value!r}")
+        return int(f)
+    if hint is str:
+        if not isinstance(value, str):
+            raise ValueError(f"Config key {path}: expected str, got {value!r}")
+        return value
+    return value  # dataclasses / Any: handled by the caller
+
+
 def _from_dict(cls, data: dict, path: str = ""):
     """Build a (possibly nested) dataclass from a dict, failing on unknown
-    keys and coercing list -> tuple where the field demands it."""
+    keys, coercing scalars to the declared field types and list -> tuple
+    where the field demands it."""
+    import typing
+
     names = {f.name: f for f in dataclasses.fields(cls)}
+    hints = typing.get_type_hints(cls)
     kwargs = {}
     for key, value in data.items():
         if key not in names:
@@ -158,8 +218,10 @@ def _from_dict(cls, data: dict, path: str = ""):
             value = _from_dict(ColorJitterConfig, value, path=f"{key}.")
         elif f.name == "mesh" and isinstance(value, dict):
             value = _from_dict(MeshConfig, value, path=f"{key}.")
-        elif isinstance(value, list):
-            value = tuple(value)
+        elif f.name in ("color_jitter", "mesh") and value is None:
+            pass
+        else:
+            value = _coerce_scalar(value, hints.get(key, Any), f"{path}{key}")
         kwargs[key] = value
     return cls(**kwargs)
 
