@@ -13,9 +13,15 @@ def setup(cache_dir: str | None = ".jax_cache") -> None:
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s - %(name)s - %(levelname)s - %(message)s")
-    if cache_dir:
-        import jax
+    import jax
 
+    if os.environ.get("JAX_PLATFORMS"):
+        # This environment's sitecustomize registers the TPU backend at
+        # interpreter startup, which makes jax ignore a JAX_PLATFORMS env
+        # override (e.g. the 8-virtual-CPU-device fake backend used to test
+        # multi-chip sharding without a slice) — re-apply it through config.
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    if cache_dir:
         jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 

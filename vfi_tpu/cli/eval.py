@@ -110,7 +110,8 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="EMAVFI eval (PSNR/SSIM)")
     parser.add_argument("--data-dir", required=True,
                         help="scene-per-subdirectory dataset (Middlebury layout)")
-    parser.add_argument("--model_path", required=True)
+    parser.add_argument("--model_path", default=None,
+                        help="EMAVFI params npz (required unless --flow_model)")
     parser.add_argument("--frame_interval", type=int, default=1)
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--fp32", action="store_true")
@@ -136,6 +137,9 @@ def main(argv=None) -> int:
 
     if args.flow_model:
         return _flow_main(args)
+    if not args.model_path:
+        parser.error("--model_path is required (unless evaluating a flow "
+                     "estimator via --flow_model)")
 
     import os
     from collections import defaultdict

@@ -45,6 +45,12 @@ def main(argv=None) -> int:
                        help="bounded warp flow radius (px)")
         p.add_argument("--use_pallas", action="store_true",
                        help="fused Pallas kernels for bounded sampling")
+        p.add_argument("--spatial", type=int, default=1,
+                       help="shard frame height over this many devices "
+                            "(single-clip 1080p/4K mode; with --use_pallas "
+                            "this uses the manual halo-exchange shard_map, "
+                            "see vfi_tpu/parallel/spatial.py). Remaining "
+                            "devices form the data-parallel axis.")
     args = parser.parse_args(argv)
 
     from vfi_tpu.cli.common import load_model_params, setup
@@ -52,6 +58,12 @@ def main(argv=None) -> int:
     params = load_model_params(args.model_path)
 
     from vfi_tpu.infer.pair import FrameInterpolator
+
+    mesh = None
+    if args.spatial > 1:
+        from vfi_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=-1, spatial=args.spatial)
 
     if args.cmd == "two-frame":
         import numpy as np
@@ -66,7 +78,8 @@ def main(argv=None) -> int:
         interp = FrameInterpolator(params, bf16=not args.fp32,
                                    dcn_max_offset=args.dcn_max_offset,
                                    warp_max_flow=args.warp_max_flow,
-                                   use_pallas=args.use_pallas)
+                                   use_pallas=args.use_pallas,
+                                   mesh=mesh, spatial=args.spatial > 1)
         mid = np.asarray(interp.midpoints(load(args.frame0), load(args.frame1)))[0]
         Image.fromarray((np.clip(mid, 0, 1) * 255).astype(np.uint8)).save(args.output)
         print(f"wrote {args.output}")
@@ -76,7 +89,8 @@ def main(argv=None) -> int:
                                reference_compat=args.reference_compat,
                                dcn_max_offset=args.dcn_max_offset,
                                warp_max_flow=args.warp_max_flow,
-                               use_pallas=args.use_pallas)
+                               use_pallas=args.use_pallas,
+                               mesh=mesh, spatial=args.spatial > 1)
     from vfi_tpu.infer.video import interpolate_video
 
     stats = interpolate_video(

@@ -100,12 +100,16 @@ class FrameInterpolator:
             return self.model.apply(p, n0, n1)
 
         n_data = self.mesh.shape["data"]
+        self._spatial_manual = bool(
+            spatial and use_pallas and self.mesh.shape["spatial"] > 1)
+        self._spatial_fwd_cache: dict = {}
         if use_pallas and not spatial and n_data > 1:
             # Pallas custom calls have no GSPMD partitioning rule, so the
             # data-parallel batch axis is mapped explicitly: each chip runs
-            # the kernels on its local shard (params replicated). Spatial
-            # sharding relies on GSPMD halo insertion and therefore stays
-            # on the XLA ops path.
+            # the kernels on its local shard (params replicated). H-sharding
+            # uses GSPMD halo insertion on the XLA ops path, or — with
+            # use_pallas — the manual halo-exchange shard_map pipeline
+            # (parallel/spatial.py), built per frame height in `midpoints`.
             from jax.sharding import PartitionSpec as P
 
             fwd = jax.shard_map(fwd, mesh=self.mesh,
@@ -113,6 +117,23 @@ class FrameInterpolator:
                                 out_specs=P("data"), check_vma=False)
         self._fwd = jax.jit(fwd, in_shardings=(rep, bsh, bsh),
                             out_shardings=bsh)
+
+    @staticmethod
+    def _normalize(f):
+        mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 1, 1, 3)
+        std = jnp.asarray(IMAGENET_STD).reshape(1, 1, 1, 3)
+        return (f - mean) / std
+
+    def _spatial_pallas_fwd(self, global_h: int):
+        """Per-height cache of the manual halo-exchange spatial forward."""
+        fn = self._spatial_fwd_cache.get(global_h)
+        if fn is None:
+            from vfi_tpu.parallel.spatial import build_spatial_forward
+
+            fn = build_spatial_forward(self.model, self.mesh, global_h,
+                                       preprocess=self._normalize)
+            self._spatial_fwd_cache[global_h] = fn
+        return fn
 
     def midpoints(self, f0: np.ndarray, f1: np.ndarray) -> jnp.ndarray:
         """Predict the temporal midpoint of each pair.
@@ -129,7 +150,24 @@ class FrameInterpolator:
         if pad:
             f0 = np.concatenate([f0, np.repeat(f0[-1:], pad, axis=0)])
             f1 = np.concatenate([f1, np.repeat(f1[-1:], pad, axis=0)])
-        out = self._fwd(self.params, jnp.asarray(f0), jnp.asarray(f1))
+        if self._spatial_manual:
+            # The halo-exchange pipeline needs H % (4 * spatial) == 0
+            # (strided context-encoder grid alignment). Real resolutions
+            # (1080 at spatial=4) don't comply: pad the bottom with edge
+            # replication and crop. Rows further than the halo from the
+            # padded boundary are exact; the last few rows see a slightly
+            # displaced frame boundary.
+            h = f0.shape[1]
+            mult = 4 * self.mesh.shape["spatial"]
+            hpad = (-h) % mult
+            if hpad:
+                f0 = np.concatenate([f0, np.repeat(f0[:, -1:], hpad, axis=1)], axis=1)
+                f1 = np.concatenate([f1, np.repeat(f1[:, -1:], hpad, axis=1)], axis=1)
+            out = self._spatial_pallas_fwd(f0.shape[1])(
+                self.params, jnp.asarray(f0), jnp.asarray(f1))
+            out = out[:, :h] if hpad else out
+        else:
+            out = self._fwd(self.params, jnp.asarray(f0), jnp.asarray(f1))
         return out[:b] if pad else out
 
     def recursive(self, f0: np.ndarray, f1: np.ndarray, factor: int) -> list[jnp.ndarray]:

@@ -61,6 +61,48 @@ class EMAVFI(nn.Module):
     # Run bounded sampling through the Pallas kernels (fused, single HBM
     # read) instead of the XLA shift decomposition. Same numerics.
     use_pallas: bool = False
+    # --- manual spatial (H) sharding, for use inside jax.shard_map ---
+    # When `spatial_axis` is set, the inputs are halo-extended H-slabs of a
+    # globally `spatial_global_h`-row image (slab row 0 = global row
+    # s*H_local - spatial_halo for shard s): every row-mixing stage masks
+    # out-of-image rows to zero (reproducing the single-device zero-padding
+    # semantics exactly) and the context global-average-pool becomes a
+    # masked owned-rows pool + psum over the axis. The caller slices the
+    # center H_local rows of the output. See vfi_tpu/parallel/spatial.py,
+    # which owns the halo-size/divisibility contract.
+    spatial_axis: Optional[str] = None
+    spatial_halo: int = 0
+    spatial_global_h: Optional[int] = None
+
+    def _row_tools(self):
+        """Spatial-mode helpers: (mask, owner_mask). `mask(x, scale)` zeroes
+        slab rows outside the global image at full resolution (scale 1) or a
+        ctx stride (2, 4) — out-of-image rows must read as exact zeros so
+        each following layer sees the single-device zero-padding semantics.
+        `owner_mask(x, scale)` additionally keeps only the rows THIS shard
+        owns (disjoint partition of the global image across shards), for the
+        pooled-context reduction."""
+        import jax
+        from jax import lax
+
+        s = lax.axis_index(self.spatial_axis)
+        n = lax.axis_size(self.spatial_axis)
+        h_local = self.spatial_global_h // n
+        origin = s * h_local - self.spatial_halo  # global row of slab row 0
+
+        def _valid(x, scale, lo, hi):
+            rows = jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[1], 1, 1), 1)
+            g = rows + origin // scale
+            return x * ((g >= lo) & (g < hi)).astype(x.dtype)
+
+        def mask(x: jnp.ndarray, scale: int = 1) -> jnp.ndarray:
+            return _valid(x, scale, 0, self.spatial_global_h // scale)
+
+        def owner_mask(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+            return _valid(x, scale, s * (h_local // scale),
+                          (s + 1) * (h_local // scale))
+
+        return mask, owner_mask
 
     @nn.compact
     def __call__(self, frame1: jnp.ndarray, frame2: jnp.ndarray) -> jnp.ndarray:
@@ -70,17 +112,35 @@ class EMAVFI(nn.Module):
         f1 = frame1.astype(compute_dtype)
         f2 = frame2.astype(compute_dtype)
 
+        if self.spatial_axis is not None:
+            mask, owner_mask = self._row_tools()
+            f1, f2 = mask(f1), mask(f2)
+        else:
+            mask = lambda x, scale=1: x  # noqa: E731 — identity off-mesh
+            owner_mask = None
+
         # 1. Feature extraction (full resolution, stride-1 trunk).
         feat = jnp.concatenate([f1, f2], axis=-1)
-        feat = ConvBlock(m, dtype=dt, name="feat_ext_conv1")(feat)
+        feat = mask(ConvBlock(m, dtype=dt, name="feat_ext_conv1")(feat))
         for i in range(self.num_blocks):
-            feat = ConvBlock(m, dtype=dt, name=f"feat_ext_block{i}")(feat)
+            feat = mask(ConvBlock(m, dtype=dt, name=f"feat_ext_block{i}")(feat))
 
         # 2. Context encoding -> one global M-dim vector per pair.
-        ctx = ConvBlock(2 * m, stride=2, dtype=dt, name="ctx_conv1")(feat)
-        ctx = ConvBlock(4 * m, stride=2, dtype=dt, name="ctx_conv2")(ctx)
+        ctx = mask(ConvBlock(2 * m, stride=2, dtype=dt, name="ctx_conv1")(feat), 2)
+        ctx = mask(ConvBlock(4 * m, stride=2, dtype=dt, name="ctx_conv2")(ctx), 4)
         ctx = ConvBlock(4 * m, dtype=dt, name="ctx_conv3")(ctx)
-        ctx = jnp.mean(ctx, axis=(1, 2))  # global average pool -> (B, 4M)
+        if self.spatial_axis is not None:
+            # Exact global average pool across shards: sum the rows this
+            # shard owns (each computed exactly thanks to the halo), psum
+            # over the axis, divide by the global pooled extent.
+            import jax
+
+            pooled = jnp.sum(owner_mask(ctx, 4), axis=(1, 2))
+            pooled = jax.lax.psum(pooled, self.spatial_axis)
+            count = (self.spatial_global_h // 4) * ctx.shape[2]
+            ctx = pooled / jnp.asarray(count, pooled.dtype)
+        else:
+            ctx = jnp.mean(ctx, axis=(1, 2))  # global average pool -> (B, 4M)
         ctx = nn.Dense(
             m,
             kernel_init=torch_kernel_init,
@@ -93,10 +153,12 @@ class EMAVFI(nn.Module):
         # 3. Motion estimation: features + broadcast context -> dense flow.
         b, h, w, _ = feat.shape
         ctx_map = jnp.broadcast_to(ctx[:, None, None, :], (b, h, w, m))
-        flow = jnp.concatenate([feat, ctx_map], axis=-1)
-        flow = ConvBlock(m, dtype=dt, name="motion_conv1")(flow)
-        flow = ConvBlock(m, dtype=dt, name="motion_conv2")(flow)
-        flow = ConvBlock(2, act=False, dtype=dt, name="motion_conv3")(flow)
+        # (spatial mode: the broadcast ctx is nonzero on out-of-image slab
+        # rows — mask the concatenation so conv padding semantics match)
+        flow = mask(jnp.concatenate([feat, ctx_map], axis=-1))
+        flow = mask(ConvBlock(m, dtype=dt, name="motion_conv1")(flow))
+        flow = mask(ConvBlock(m, dtype=dt, name="motion_conv2")(flow))
+        flow = mask(ConvBlock(2, act=False, dtype=dt, name="motion_conv3")(flow))
 
         # 4. Backward-warp frame2 (RGB) by the flow; bilinear, zeros padding,
         #    align_corners=True semantics.
@@ -118,17 +180,17 @@ class EMAVFI(nn.Module):
             warped2 = warp(f2, flow, mode="bilinear")
 
         # 5. Fusion: deformable conv stack over cat(features, warped frame).
-        fused = jnp.concatenate([feat, warped2], axis=-1)
+        fused = mask(jnp.concatenate([feat, warped2], axis=-1))
         fused_ch = m + self.in_channels
         for i in range(self.num_blocks):
-            fused = ModulatedDeformConv(fused_ch, dtype=dt,
-                                        max_offset=self.dcn_max_offset,
-                                        use_pallas=self.use_pallas,
-                                        name=f"fusion_dcn{i}")(fused)
+            fused = mask(ModulatedDeformConv(fused_ch, dtype=dt,
+                                             max_offset=self.dcn_max_offset,
+                                             use_pallas=self.use_pallas,
+                                             name=f"fusion_dcn{i}")(fused))
 
         # 6. Reconstruction head -> [0, 1] frame.
-        out = ConvBlock(m, dtype=dt, name="rec_conv1")(fused)
-        out = ConvBlock(m // 2, dtype=dt, name="rec_conv2")(out)
+        out = mask(ConvBlock(m, dtype=dt, name="rec_conv1")(fused))
+        out = mask(ConvBlock(m // 2, dtype=dt, name="rec_conv2")(out))
         out = ConvBlock(self.in_channels, act=False, dtype=dt, name="rec_conv3")(out)
         out = jnp.tanh(out)
         return ((out + 1.0) * 0.5).astype(jnp.promote_types(frame1.dtype, jnp.float32))

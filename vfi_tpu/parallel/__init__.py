@@ -8,6 +8,11 @@ from vfi_tpu.parallel.mesh import (
     shard_batch,
     spatial_sharding,
 )
+from vfi_tpu.parallel.spatial import (
+    build_spatial_forward,
+    required_halo,
+    spatial_interpolate,
+)
 
 __all__ = [
     "make_mesh",
@@ -15,4 +20,7 @@ __all__ = [
     "replicated",
     "shard_batch",
     "spatial_sharding",
+    "build_spatial_forward",
+    "required_halo",
+    "spatial_interpolate",
 ]
