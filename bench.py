@@ -42,8 +42,20 @@ def _measure(model_kwargs: dict, b=B, h=H, w=W, iters=ITERS) -> float:
     from vfi_tpu.models import EMAVFI
 
     model = EMAVFI(dtype=jnp.bfloat16, **model_kwargs)
-    small = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), small, small)
+    # Trained weights, not init: the bounded-shift DCN formulation's cost
+    # is offset-data-dependent (init offsets are exactly zero = best case,
+    # ~29% faster than trained), while the reference's gather-based DCN is
+    # offset-independent — the honest cross-framework number uses a real
+    # checkpoint. Fall back to init params if the artifact is absent.
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "artifacts", "emavfi_long2_best.npz")
+    if os.path.exists(ckpt):
+        from vfi_tpu.utils.convert import load_params_npz
+
+        params = load_params_npz(ckpt)
+    else:
+        small = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), small, small)
 
     def chain(p, a, b_):
         def body(x, _):

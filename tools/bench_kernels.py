@@ -156,6 +156,13 @@ def main():
     if "v4" in args.kernels:
         kernels["pallas-v4"] = functools.partial(
             deform_conv2d_pallas_v4, max_offset=r)
+    if "v4b" in args.kernels:  # double-buffered sample scratch
+        kernels["pallas-v4b2"] = functools.partial(
+            deform_conv2d_pallas_v4, max_offset=r, samp_bufs=2)
+    if "v4dbg" in args.kernels:  # cost-split ablations (wrong results)
+        for dbg in ("empty", "noblend", "nowgt", "nodot"):
+            kernels[f"v4-{dbg}"] = functools.partial(
+                deform_conv2d_pallas_v4, max_offset=r, _dbg=dbg)
 
     for regime in ("zero", "trained", "worst"):
         inp = make_inputs(h, w, args.channels, r, regime)

@@ -259,18 +259,18 @@ def deform_conv2d_pallas(
 
 def _pick_th_v4(h: int, w: int, cpad: int, coutp: int, m: int, kh: int,
                 itemsize: int = 2, budget: int = 24 * 1024 * 1024,
-                stage_columns: bool = True) -> int:
+                stage_columns: bool = True, samp_bufs: int = 1) -> int:
     """Row-slab height for the v4 kernel's buffer set: bf16 slab
-    (+ optionally one staged column-shift copy) + a kh-tap-group sample
-    buffer + f32 output accumulator + double-buffered offset/mask/out
-    blocks."""
+    (+ optionally one staged column-shift copy) + `samp_bufs` kh-tap-group
+    sample buffers + f32 output accumulator + double-buffered
+    offset/mask/out blocks."""
     wp = _round8(8 + w + m)  # left pad 8 so the ux=0 slice is sublane-aligned
     for th in (32, 16, 8, 4, 2, 1):
         if h % th != 0:
             continue
         slab = (th + 2 * m) * wp * cpad * itemsize
         xs = (th + 2 * m) * w * cpad * itemsize if stage_columns else 0
-        samp = th * w * cpad * itemsize
+        samp = samp_bufs * th * w * cpad * itemsize
         planes = 2 * 3 * kh * kh * _round8(th) * w * 4  # dbl-buffered f32
         blocks = 2 * th * w * coutp * itemsize          # out
         if slab + xs + samp + planes + blocks <= budget:
@@ -283,7 +283,7 @@ def _sampling_kernel_v4(pm_ref, bd_ref, w_ref, b_ref, x_hbm, out_ref,
                         x_tile, xs_ref, samp_ref, sem, *, kh: int,
                         kw: int, R: int, TH: int, W: int, C: int, cout: int,
                         padding: int, stage_columns: bool,
-                        _dbg: str = "full"):
+                        samp_bufs: int = 1, _dbg: str = "full"):
     """v4: absolute-column-shift hoisting, fused row windows inside a
     fori_loop, scalar SMEM predicates, top-level matmuls.
 
@@ -337,6 +337,32 @@ def _sampling_kernel_v4(pm_ref, bd_ref, w_ref, b_ref, x_hbm, out_ref,
     if _dbg == "empty":   # DMA + block pipeline + init only
         return
 
+    # samp_bufs > 1: alternate sample buffers between consecutive
+    # (tap, ux) iterations so the VPU blend of iteration k+1 has no WAR
+    # hazard against the MXU dot still reading iteration k's samples —
+    # the hardware can overlap them. samp_bufs == 1 keeps the proven
+    # single-buffer codegen byte-identical.
+    if samp_bufs == 1:
+        def samp_set(d, v):
+            samp_ref[...] = v
+
+        def samp_add(d, v):
+            samp_ref[...] += v
+
+        def samp_get(d):
+            return samp_ref[...]
+    else:
+        def samp_set(d, v):
+            samp_ref[d] = v
+
+        def samp_add(d, v):
+            samp_ref[d] += v
+
+        def samp_get(d):
+            return samp_ref[d]
+
+    pair_idx = 0  # static count of (tap-column, ux) fori instances emitted
+
     for ux in range(-(padding + R), (kw - 1 - padding) + R + 1):
         rel_j = [j for j in range(kw) if abs(ux - (j - padding)) <= R]
         aligned = (ux == 0)  # left pad 8 => slice offset 8 is aligned
@@ -363,9 +389,12 @@ def _sampling_kernel_v4(pm_ref, bd_ref, w_ref, b_ref, x_hbm, out_ref,
 
         for j in rel_j:
             sx = ux - (j - padding)
+            phase = (pair_idx * kh) % samp_bufs
+            pair_idx += 1
 
-            def blend(i, _, j=j, sx=sx, src=src, c0=c0):
+            def blend(i, _, j=j, sx=sx, src=src, c0=c0, phase=phase):
                 t = i * kw + j
+                d = (i + phase) % samp_bufs if samp_bufs > 1 else 0
                 pred = jnp.logical_and(bd_ref[0, 0, 3, t] > sx - 1,
                                        bd_ref[0, 0, 2, t] < sx + 1)
                 # Row slice for relative shift v-R in [-R, R]:
@@ -379,15 +408,15 @@ def _sampling_kernel_v4(pm_ref, bd_ref, w_ref, b_ref, x_hbm, out_ref,
                 @pl.when(pred)
                 def _():
                     if _dbg == "noblend":
-                        samp_ref[...] = src[pl.ds(base + R, TH),
-                                            c0:c0 + W, :]
+                        samp_set(d, src[pl.ds(base + R, TH),
+                                        c0:c0 + W, :])
                     elif _dbg == "nowgt":
                         expr = None
                         for v in range(R - 1, R + 2):
                             rows = src[pl.ds(base + v, TH), c0:c0 + W, :]
                             expr = (rows if expr is None
                                     else expr + rows.astype(samp_ref.dtype))
-                        samp_ref[...] = expr
+                        samp_set(d, expr)
                     else:
                         # Weight math in f32 (coordinates), then CAST THE
                         # FINAL WEIGHT TO THE BLEND DTYPE: an all-bf16
@@ -395,6 +424,16 @@ def _sampling_kernel_v4(pm_ref, bd_ref, w_ref, b_ref, x_hbm, out_ref,
                         # materialization of the converted rows (the XLA
                         # shifts op casts its weights to the compute
                         # dtype the same way, so numerics match).
+                        #
+                        # NOTE (measured, do not "optimize"): hoisting the
+                        # [:, :, None] insertions of dy/axm out of the
+                        # per-v terms and deriving ay in the transposed
+                        # space is 1.7-1.9x SLOWER (trained 33->55 ms at
+                        # 720p): Mosaic fuses the exact
+                        # `(plane2d)[:, :, None] * rows` pattern into a
+                        # native broadcast-multiply, and arithmetic on the
+                        # transposed value forces a materialized (TH, W, 1)
+                        # layout instead.
                         dy = pm_ref[0, t]
                         axm = jnp.maximum(
                             1.0 - jnp.abs(pm_ref[0, n_taps + t] - sx), 0.0
@@ -408,7 +447,7 @@ def _sampling_kernel_v4(pm_ref, bd_ref, w_ref, b_ref, x_hbm, out_ref,
                             rows = src[pl.ds(base + v, TH), c0:c0 + W, :]
                             term = wgt * rows
                             expr = term if expr is None else expr + term
-                        samp_ref[...] = expr
+                        samp_set(d, expr)
 
                         for v in (list(range(R - 1)) +
                                   list(range(R + 2, 2 * R + 1))):
@@ -424,11 +463,11 @@ def _sampling_kernel_v4(pm_ref, bd_ref, w_ref, b_ref, x_hbm, out_ref,
                                     samp_ref.dtype)
                                 rows = src[pl.ds(base + v, TH),
                                            c0:c0 + W, :]
-                                samp_ref[...] += wgt * rows
+                                samp_add(d, wgt * rows)
 
                     if _dbg != "nodot":
                         out_ref[0] += jax.lax.dot_general(
-                            samp_ref[...].reshape(TH * W, C),
+                            samp_get(d).reshape(TH * W, C),
                             w_ref[t],
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
@@ -440,7 +479,8 @@ def _sampling_kernel_v4(pm_ref, bd_ref, w_ref, b_ref, x_hbm, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("max_offset", "padding",
-                                             "stage_columns", "_dbg"))
+                                             "stage_columns", "samp_bufs",
+                                             "_dbg"))
 def deform_conv2d_pallas_v4(
     x: jnp.ndarray,
     offset: jnp.ndarray,
@@ -450,6 +490,7 @@ def deform_conv2d_pallas_v4(
     max_offset: int = 3,
     padding: int = 1,
     stage_columns: bool = True,
+    samp_bufs: int = 1,
     _dbg: str = "full",
 ) -> jnp.ndarray:
     """Fused bounded-offset DCNv2, v4 inner structure (see
@@ -472,7 +513,7 @@ def deform_conv2d_pallas_v4(
     coutp = _pad128(cout)
     isz = jnp.dtype(dtype).itemsize
     TH = _pick_th_v4(h, w, cpad, coutp, M, kh, itemsize=isz,
-                     stage_columns=stage_columns)
+                     stage_columns=stage_columns, samp_bufs=samp_bufs)
 
     # Slab: halo M on H; width = 8 (left, aligns ux=0) + W + M + rounding.
     wp8 = _round8(8 + w + M)
@@ -500,7 +541,8 @@ def deform_conv2d_pallas_v4(
 
     base = functools.partial(
         _sampling_kernel_v4, kh=kh, kw=kw, R=R, TH=TH, W=w, C=cpad,
-        cout=cout, padding=padding, stage_columns=stage_columns, _dbg=_dbg)
+        cout=cout, padding=padding, stage_columns=stage_columns,
+        samp_bufs=samp_bufs, _dbg=_dbg)
     if stage_columns:
         kern = base
         scratch = [pltpu.VMEM((TH + 2 * M, wp8, cpad), dtype),
@@ -509,8 +551,10 @@ def deform_conv2d_pallas_v4(
         def kern(pm, bd, wr, br, xh, o, slab, samp, sem):
             return base(pm, bd, wr, br, xh, o, slab, None, samp, sem)
         scratch = [pltpu.VMEM((TH + 2 * M, wp8, cpad), dtype)]
+    samp_shape = ((TH, w, cpad) if samp_bufs == 1
+                  else (samp_bufs, TH, w, cpad))
     scratch += [
-        pltpu.VMEM((TH, w, cpad), dtype),
+        pltpu.VMEM(samp_shape, dtype),
         pltpu.SemaphoreType.DMA,
     ]
 
