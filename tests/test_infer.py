@@ -176,3 +176,36 @@ def test_video_reference_compat_ordering(tiny_interp, tmp_path, rng):
     # factor = round(60/15 - 1) = 3; (n-1) pairs * (3 interp + 1 original)
     assert stats["factor"] == 3
     assert stats["frames_written"] == (n - 1) * 4
+
+
+def test_video_spatially_sharded(tmp_path, rng):
+    """BASELINE config 5 shape: the video pipeline over a ('data','spatial')
+    mesh — batch over data, H over spatial (GSPMD halo path)."""
+    cv2 = pytest.importorskip("cv2")
+    from vfi_tpu.infer.pair import FrameInterpolator
+    from vfi_tpu.infer.video import interpolate_video
+    from vfi_tpu.models import EMAVFI
+    from vfi_tpu.parallel import make_mesh
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    mesh = make_mesh(data=2, spatial=2)
+    interp = FrameInterpolator(params, bf16=False, mesh=mesh, spatial=True)
+
+    src = str(tmp_path / "in.avi")
+    dst = str(tmp_path / "out.avi")
+    w, h, n = 64, 48, 5
+    writer = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"MJPG"), 30.0, (w, h))
+    base = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+    for i in range(n):
+        writer.write(np.roll(base, i * 2, axis=1))
+    writer.release()
+
+    stats = interpolate_video(src, dst, interp, target_fps=60.0, scale=1.0,
+                              batch_pairs=2)
+    assert stats["factor"] == 1
+    assert stats["frames_written"] == 2 * n - 1
+    cap = cv2.VideoCapture(dst)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 2 * n - 1
+    cap.release()
