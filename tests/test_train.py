@@ -215,3 +215,57 @@ def test_best_val_watermark_survives_resume(tmp_path, rng):
     assert epoch == 5
     assert abs(mgr.last_meta["best_val"] - 0.42) < 1e-9
     mgr.close()
+
+
+def test_trainer_interrupt_saves_resumable_checkpoint(tmp_path, rng):
+    """Fault containment (SURVEY §5: the reference loses everything on any
+    exception): KeyboardInterrupt mid-run persists a checkpoint a fresh
+    Trainer resumes from."""
+    import dataclasses
+
+    import pytest as _pytest
+    from PIL import Image
+
+    from vfi_tpu.train.loop import Trainer
+    from vfi_tpu.utils.config import MeshConfig, TrainConfig
+
+    root = tmp_path / "data"
+    for split in ("train", "val"):
+        d = root / split / "scene"
+        d.mkdir(parents=True)
+        for i in range(5):
+            img = rng.integers(0, 255, (20, 24, 3)).astype(np.uint8)
+            Image.fromarray(img).save(d / f"f{i}.png")
+
+    cfg = TrainConfig(
+        batch_size=2, learning_rate=1e-3, num_epochs=3,
+        train_data_dir=str(root / "train"), val_data_dir=str(root / "val"),
+        crop_size=(16, 16), random_rotation=False, horizontal_flip=False,
+        color_jitter=None, random_grayscale=0.0,
+        vgg_weight=0.0, temporal_weight=0.0,
+        mid_channels=8, num_blocks=1, bf16=False,
+        mesh=MeshConfig(data=1, spatial=1),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        best_model_path=str(tmp_path / "best"),
+        output_image_path=str(tmp_path / "imgs"),
+        log_every=100)
+
+    done = []
+
+    def interrupting_log(msg):
+        # raise the interrupt right after epoch 1's summary line
+        if msg.startswith("[epoch 1/") and "val" in msg:
+            done.append(msg)
+            raise KeyboardInterrupt
+
+    trainer = Trainer(cfg)
+    with _pytest.raises(KeyboardInterrupt):
+        trainer.run(log=interrupting_log)
+    trainer.ckpt.close()
+    assert done, "interrupt was never injected"
+
+    trainer2 = Trainer(cfg)
+    assert trainer2.start_epoch >= 1  # resumes past the interrupted epoch
+    history = trainer2.run(log=lambda *_: None)
+    trainer2.ckpt.close()
+    assert len(history["val_loss"]) == 3 - trainer2.start_epoch
