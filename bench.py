@@ -9,11 +9,13 @@ replaced by plain convs, single-core fp32 at 1280x720; see BASELINE.md
 "CPU baseline"). The north-star target is >= 10x.
 
 The flagship TPU configuration is bounded-offset sampling (DCN offsets
-clamped to 3 px, warp flow to 16 px — both architecture-level design
+clamped to 2 px, warp flow to 16 px — both architecture-level design
 choices of the TPU build, see EMAVFI docstring) with the fused Pallas
-kernels; if a kernel fails to compile on the current toolchain the bench
-degrades to the XLA shift-decomposition, then to the exact gather path,
-and reports which configuration actually ran.
+kernels and the shipped trained checkpoint (offset-data-dependent kernel
+cost; see docs/PERFORMANCE.md "Bench honesty"). If a kernel fails to
+compile on the current toolchain the bench degrades to the XLA
+shift-decomposition, then to the exact gather path, and reports which
+configuration actually ran.
 """
 
 import json
