@@ -90,9 +90,12 @@ def _pick_th(h: int, w: int, cpad: int, cout: int, m: int,
 def pallas_sampling_feasible(h: int, w: int, c: int, cout: int, R: int,
                              itemsize: int = 2) -> bool:
     """Static check: can the fused kernel fit a full-width row slab into
-    VMEM? Callers fall back to the XLA shifts op when False."""
+    VMEM? Callers fall back to the XLA shifts op when False. Gates on the
+    PRODUCTION kernel's picker (_pick_th_v4): the pickers can disagree,
+    and a True here must mean the v4 kernel actually lowers."""
     try:
-        _pick_th(h, w, _pad128(c), cout, R + 1, itemsize=itemsize)
+        _pick_th_v4(h, w, _pad128(c), _pad128(cout), R + 1, 3,
+                    itemsize=itemsize)
         return True
     except ValueError:
         return False
@@ -263,18 +266,29 @@ def _pick_th_v4(h: int, w: int, cpad: int, coutp: int, m: int, kh: int,
     """Row-slab height for the v4 kernel's buffer set: bf16 slab
     (+ optionally one staged column-shift copy) + `samp_bufs` kh-tap-group
     sample buffers + f32 output accumulator + double-buffered
-    offset/mask/out blocks."""
+    offset/mask/out blocks.
+
+    TH must be a multiple of 8: the planes/out BlockSpecs put TH in the
+    second-minor dim, which Pallas requires divisible by 8 (observed hard
+    lowering error at 1080p with TH=4). When nothing fits the preferred
+    budget, the budget is relaxed stepwise toward the 64 MB compiler limit
+    (large widths, e.g. 1920, need ~29 MB at TH=8) — preferring the small
+    budget first keeps the measured 720p/VGA picks unchanged."""
     wp = _round8(8 + w + m)  # left pad 8 so the ux=0 slice is sublane-aligned
-    for th in (32, 16, 8, 4, 2, 1):
-        if h % th != 0:
-            continue
-        slab = (th + 2 * m) * wp * cpad * itemsize
-        xs = (th + 2 * m) * w * cpad * itemsize if stage_columns else 0
-        samp = samp_bufs * th * w * cpad * itemsize
-        planes = 2 * 3 * kh * kh * _round8(th) * w * 4  # dbl-buffered f32
-        blocks = 2 * th * w * coutp * itemsize          # out
-        if slab + xs + samp + planes + blocks <= budget:
-            return th
+    # th == h is also always legal (a block equal to the whole dim lowers
+    # regardless of divisibility) — the tiny-shape escape hatch.
+    cands = (32, 16, 8) + ((h,) if h < 8 else ())
+    for b in (budget, 34 * 1024 * 1024, 48 * 1024 * 1024):
+        for th in cands:
+            if h % th != 0:
+                continue
+            slab = (th + 2 * m) * wp * cpad * itemsize
+            xs = (th + 2 * m) * w * cpad * itemsize if stage_columns else 0
+            samp = samp_bufs * th * w * cpad * itemsize
+            planes = 2 * 3 * kh * kh * _round8(th) * w * 4  # dbl-buffered f32
+            blocks = 2 * th * w * coutp * itemsize          # out
+            if slab + xs + samp + planes + blocks <= b:
+                return th
     raise ValueError(
         f"no VMEM-feasible v4 row slab for h={h} w={w} cpad={cpad} halo={m}")
 
