@@ -89,11 +89,19 @@ def _pick_th(h: int, w: int, cpad: int, cout: int, m: int,
 
 def pallas_sampling_feasible(h: int, w: int, c: int, cout: int, R: int,
                              itemsize: int = 2) -> bool:
-    """Static check: can the fused kernel fit a full-width row slab into
-    VMEM? Callers fall back to the XLA shifts op when False. Gates on the
-    PRODUCTION kernel's picker (_pick_th_v4): the pickers can disagree,
-    and a True here must mean the v4 kernel actually lowers."""
+    """Static check: can the fused kernel fit a (possibly column-tiled)
+    row slab into VMEM? Callers fall back to the XLA shifts op when False.
+    Gates on the PRODUCTION kernel's picker (_pick_th_tw_v4): the pickers
+    can disagree, and a True here must mean the v4 kernel actually
+    lowers."""
     try:
+        # Untiled only: column tiling (tile_w) exists and passes interpret
+        # -mode parity, but is NOT yet hardware-validated — a kernel
+        # structure that Mosaic loops on wedges the remote compile service
+        # indefinitely (observed 2026-08-17 with the two-dynamic-dim DMA
+        # variant), so auto-enabling it at 4K is gated until a real-TPU
+        # compile succeeds. 4K therefore still reports infeasible ->
+        # callers fall back to the XLA shifts op.
         _pick_th_v4(h, w, _pad128(c), _pad128(cout), R + 1, 3,
                     itemsize=itemsize)
         return True
@@ -293,6 +301,32 @@ def _pick_th_v4(h: int, w: int, cpad: int, coutp: int, m: int, kh: int,
         f"no VMEM-feasible v4 row slab for h={h} w={w} cpad={cpad} halo={m}")
 
 
+def _pick_th_tw_v4(h: int, w: int, cpad: int, coutp: int, m: int, kh: int,
+                   itemsize: int = 2, budget: int = 24 * 1024 * 1024,
+                   stage_columns: bool = True,
+                   samp_bufs: int = 1) -> tuple:
+    """(row-slab height, column-tile width) for the v4 kernel. Full width
+    is preferred (one DMA per slab, no halo re-reads); when its slab
+    cannot fit VMEM (e.g. 4K, W=3840), the width is tiled into equal
+    columns — candidates must divide W and be lane-tile multiples (the
+    planes/out BlockSpecs put TW in the minor dim). Per-tile VMEM math is
+    exactly `_pick_th_v4` at width TW."""
+    cands = [w] + [t for t in (1920, 1536, 1280, 1024, 768, 640, 512,
+                               384, 256, 128)
+                   if t < w and w % t == 0]
+    for tw in cands:
+        try:
+            th = _pick_th_v4(h, tw, cpad, coutp, m, kh, itemsize=itemsize,
+                             budget=budget, stage_columns=stage_columns,
+                             samp_bufs=samp_bufs)
+            return th, tw
+        except ValueError:
+            continue
+    raise ValueError(
+        f"no VMEM-feasible v4 (row-slab, column-tile) for h={h} w={w} "
+        f"cpad={cpad} halo={m}")
+
+
 def _sampling_kernel_v4(pm_ref, bd_ref, w_ref, b_ref, x_hbm, out_ref,
                         x_tile, xs_ref, samp_ref, sem, *, kh: int,
                         kw: int, R: int, TH: int, W: int, C: int, cout: int,
@@ -331,17 +365,31 @@ def _sampling_kernel_v4(pm_ref, bd_ref, w_ref, b_ref, x_hbm, out_ref,
     kernel-row index i. Guarded regions outside loops contain only
     relayout copies (stack-safe, v3-proven).
 
-    bd_ref (SMEM): (1, 1, 4, taps) = rows (dymin, dymax, dxmin, dxmax)
-    of the CLIPPED offsets over this slab. w_ref: (kh*kw, C, cout).
-    samp_ref: (TH, W, C) — one blended-sample buffer, written and
-    consumed within a single (tap, ux) fori iteration.
+    bd_ref (SMEM): (1, 1, 1, 4, taps) = rows (dymin, dymax, dxmin, dxmax)
+    of the CLIPPED offsets over this (row-slab, column-tile). w_ref:
+    (kh*kw, C, cout). samp_ref: (TH, W, C) — one blended-sample buffer,
+    written and consumed within a single (tap, ux) fori iteration.
+
+    W here is the COLUMN-TILE width (== the full image width when the
+    image fits untiled). The grid is (batch, row-slabs, column-tiles).
+    When tiled (ncols > 1), x_hbm arrives as (B, ncols, Hp, wp_t, C):
+    the host pre-gathers each tile's column window (tile columns + the 8
+    left-pad + M halo from the neighbor tile / global zero padding), so
+    the slab DMA keeps a SINGLE dynamic-start dim — a column slice in the
+    DMA itself (two dynamic-start dims) hangs this toolchain's Mosaic
+    compiler, re-confirmed 2026-08-17. Slab column s maps to image
+    column ci*W + s - 8 either way.
     """
     M = R + 1
     b = pl.program_id(0)
     r = pl.program_id(1)
+    ci = pl.program_id(2)
 
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(r * TH, TH + 2 * M)], x_tile, sem)
+    if len(x_hbm.shape) == 5:   # column-tiled: tile index is an array dim
+        src_rows = x_hbm.at[b, ci, pl.ds(r * TH, TH + 2 * M)]
+    else:
+        src_rows = x_hbm.at[b, pl.ds(r * TH, TH + 2 * M)]
+    cp = pltpu.make_async_copy(src_rows, x_tile, sem)
     cp.start()
     cp.wait()
 
@@ -388,8 +436,8 @@ def _sampling_kernel_v4(pm_ref, bd_ref, w_ref, b_ref, x_hbm, out_ref,
                 for i in range(kh):
                     t = i * kw + j
                     preds.append(jnp.logical_and(
-                        bd_ref[0, 0, 3, t] > sx - 1,
-                        bd_ref[0, 0, 2, t] < sx + 1))
+                        bd_ref[0, 0, 0, 3, t] > sx - 1,
+                        bd_ref[0, 0, 0, 2, t] < sx + 1))
             any_pred = functools.reduce(jnp.logical_or, preds)
 
             @pl.when(any_pred)
@@ -409,8 +457,8 @@ def _sampling_kernel_v4(pm_ref, bd_ref, w_ref, b_ref, x_hbm, out_ref,
             def blend(i, _, j=j, sx=sx, src=src, c0=c0, phase=phase):
                 t = i * kw + j
                 d = (i + phase) % samp_bufs if samp_bufs > 1 else 0
-                pred = jnp.logical_and(bd_ref[0, 0, 3, t] > sx - 1,
-                                       bd_ref[0, 0, 2, t] < sx + 1)
+                pred = jnp.logical_and(bd_ref[0, 0, 0, 3, t] > sx - 1,
+                                       bd_ref[0, 0, 0, 2, t] < sx + 1)
                 # Row slice for relative shift v-R in [-R, R]:
                 # start = M + (i - padding) + (v - R).
                 base = M - padding - R + i
@@ -466,8 +514,8 @@ def _sampling_kernel_v4(pm_ref, bd_ref, w_ref, b_ref, x_hbm, out_ref,
                         for v in (list(range(R - 1)) +
                                   list(range(R + 2, 2 * R + 1))):
                             predv = jnp.logical_and(
-                                bd_ref[0, 0, 1, t] > (v - R) - 1,
-                                bd_ref[0, 0, 0, t] < (v - R) + 1)
+                                bd_ref[0, 0, 0, 1, t] > (v - R) - 1,
+                                bd_ref[0, 0, 0, 0, t] < (v - R) + 1)
 
                             @pl.when(predv)
                             def _(v=v):
@@ -494,7 +542,7 @@ def _sampling_kernel_v4(pm_ref, bd_ref, w_ref, b_ref, x_hbm, out_ref,
 
 @functools.partial(jax.jit, static_argnames=("max_offset", "padding",
                                              "stage_columns", "samp_bufs",
-                                             "_dbg"))
+                                             "tile_w", "_dbg"))
 def deform_conv2d_pallas_v4(
     x: jnp.ndarray,
     offset: jnp.ndarray,
@@ -505,6 +553,7 @@ def deform_conv2d_pallas_v4(
     padding: int = 1,
     stage_columns: bool = True,
     samp_bufs: int = 1,
+    tile_w: Optional[int] = None,
     _dbg: str = "full",
 ) -> jnp.ndarray:
     """Fused bounded-offset DCNv2, v4 inner structure (see
@@ -526,17 +575,38 @@ def deform_conv2d_pallas_v4(
     cpad = _pad128(cin)
     coutp = _pad128(cout)
     isz = jnp.dtype(dtype).itemsize
-    TH = _pick_th_v4(h, w, cpad, coutp, M, kh, itemsize=isz,
-                     stage_columns=stage_columns, samp_bufs=samp_bufs)
+    if tile_w is not None:  # explicit column-tile width (tests/tuning)
+        if w % tile_w != 0 or (tile_w != w and tile_w % 128 != 0):
+            raise ValueError(f"tile_w={tile_w} must divide w={w} and be a "
+                             "lane-tile multiple")
+        TW = tile_w
+        TH = _pick_th_v4(h, TW, cpad, coutp, M, kh, itemsize=isz,
+                         stage_columns=stage_columns, samp_bufs=samp_bufs)
+    else:
+        # Default = untiled (see pallas_sampling_feasible: auto column
+        # tiling is gated until hardware-validated); pass tile_w to tile.
+        TH = _pick_th_v4(h, w, cpad, coutp, M, kh, itemsize=isz,
+                         stage_columns=stage_columns, samp_bufs=samp_bufs)
+        TW = w
+    ncols = w // TW
 
-    # Slab: halo M on H; width = 8 (left, aligns ux=0) + W + M + rounding.
-    wp8 = _round8(8 + w + M)
-    xp = jnp.pad(x, ((0, 0), (M, M), (8, wp8 - w - 8), (0, cpad - cin)))
+    # Slab: halo M on H; per column tile the window is 8 (left, aligns
+    # ux=0) + TW + M + rounding columns starting at xp column ci*TW —
+    # neighbor-tile pixels provide the column halo, the global
+    # 8-left/right zero padding the image edges. When tiled, the windows
+    # are pre-gathered into a leading tile dim so the kernel's slab DMA
+    # keeps one dynamic-start dim (see _sampling_kernel_v4 docstring).
+    wp_t = _round8(8 + TW + M)
+    xp_w = (ncols - 1) * TW + wp_t
+    xp = jnp.pad(x, ((0, 0), (M, M), (8, xp_w - w - 8), (0, cpad - cin)))
+    if ncols > 1:
+        xp = jnp.stack([xp[:, :, ci * TW:ci * TW + wp_t]
+                        for ci in range(ncols)], axis=1)
     w_taps = jnp.pad(weight.reshape(kh * kw, cin, cout),
                      ((0, 0), (0, cpad - cin), (0, 0)))
 
     # Planar pre-clipped offset/mask planes (B, 3*taps, H, W) f32: the
-    # kernel reads whole (TH, W) planes by leading index instead of
+    # kernel reads whole (TH, TW) planes by leading index instead of
     # extracting single lanes, and coordinates must be f32 anyway.
     n_taps = kh * kw
     msk = mask if mask is not None else jnp.ones((b, h, w, n_taps), dtype)
@@ -545,28 +615,29 @@ def deform_conv2d_pallas_v4(
         jnp.clip(offset[..., 1::2].astype(jnp.float32), -R, R),
         msk.astype(jnp.float32)], axis=-1).transpose(0, 3, 1, 2)
 
-    # Per-slab offset bounds -> SMEM: rows (dymin, dymax, dxmin, dxmax).
+    # Per-(row-slab, column-tile) offset bounds -> SMEM: rows
+    # (dymin, dymax, dxmin, dxmax).
     nrows = h // TH
-    r5 = planes[:, :2 * n_taps].reshape(b, 2 * n_taps, nrows, TH, w)
-    mn = r5.min(axis=(3, 4)).transpose(0, 2, 1)   # (B, nrows, 2*taps)
-    mx = r5.max(axis=(3, 4)).transpose(0, 2, 1)
+    r6 = planes[:, :2 * n_taps].reshape(b, 2 * n_taps, nrows, TH, ncols, TW)
+    mn = r6.min(axis=(3, 5)).transpose(0, 2, 3, 1)  # (B, nr, nc, 2*taps)
+    mx = r6.max(axis=(3, 5)).transpose(0, 2, 3, 1)
     bounds = jnp.stack([mn[..., :n_taps], mx[..., :n_taps],
-                        mn[..., n_taps:], mx[..., n_taps:]], axis=2)
+                        mn[..., n_taps:], mx[..., n_taps:]], axis=3)
 
     base = functools.partial(
-        _sampling_kernel_v4, kh=kh, kw=kw, R=R, TH=TH, W=w, C=cpad,
+        _sampling_kernel_v4, kh=kh, kw=kw, R=R, TH=TH, W=TW, C=cpad,
         cout=cout, padding=padding, stage_columns=stage_columns,
         samp_bufs=samp_bufs, _dbg=_dbg)
     if stage_columns:
         kern = base
-        scratch = [pltpu.VMEM((TH + 2 * M, wp8, cpad), dtype),
-                   pltpu.VMEM((TH + 2 * M, w, cpad), dtype)]
+        scratch = [pltpu.VMEM((TH + 2 * M, wp_t, cpad), dtype),
+                   pltpu.VMEM((TH + 2 * M, TW, cpad), dtype)]
     else:
         def kern(pm, bd, wr, br, xh, o, slab, samp, sem):
             return base(pm, bd, wr, br, xh, o, slab, None, samp, sem)
-        scratch = [pltpu.VMEM((TH + 2 * M, wp8, cpad), dtype)]
-    samp_shape = ((TH, w, cpad) if samp_bufs == 1
-                  else (samp_bufs, TH, w, cpad))
+        scratch = [pltpu.VMEM((TH + 2 * M, wp_t, cpad), dtype)]
+    samp_shape = ((TH, TW, cpad) if samp_bufs == 1
+                  else (samp_bufs, TH, TW, cpad))
     scratch += [
         pltpu.VMEM(samp_shape, dtype),
         pltpu.SemaphoreType.DMA,
@@ -574,18 +645,19 @@ def deform_conv2d_pallas_v4(
 
     out = pl.pallas_call(
         kern,
-        grid=(b, h // TH),
+        grid=(b, h // TH, ncols),
         in_specs=[
-            pl.BlockSpec((1, 3 * n_taps, TH, w),
-                         lambda bi, ri: (bi, 0, ri, 0)),
-            pl.BlockSpec((1, 1, 4, n_taps), lambda bi, ri: (bi, ri, 0, 0),
+            pl.BlockSpec((1, 3 * n_taps, TH, TW),
+                         lambda bi, ri, ci: (bi, 0, ri, ci)),
+            pl.BlockSpec((1, 1, 1, 4, n_taps),
+                         lambda bi, ri, ci: (bi, ri, ci, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),       # weights
             pl.BlockSpec(memory_space=pltpu.VMEM),       # bias (1, cout)
             pl.BlockSpec(memory_space=pl.ANY),           # padded x in HBM
         ],
-        out_specs=pl.BlockSpec((1, TH, w, cout),
-                               lambda bi, ri: (bi, ri, 0, 0)),
+        out_specs=pl.BlockSpec((1, TH, TW, cout),
+                               lambda bi, ri, ci: (bi, ri, ci, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), dtype),
         scratch_shapes=scratch,
         # v5e VMEM is 128 MiB/core; the default 16 MiB scoped limit is a
