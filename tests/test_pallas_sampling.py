@@ -175,3 +175,25 @@ def test_warp_pallas_saturates(rng):
     got = bounded_warp_pallas(jnp.asarray(img), jnp.asarray(flow), max_flow=R)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_dcn_pallas_v4_column_tiled_matches_exact(rng):
+    """Explicit column tiling (tile_w): per-tile bounds + pre-gathered
+    column windows must reproduce the exact gather, including offsets that
+    reach across tile boundaries (|d| up to R with tiles of 128)."""
+    b, h, w, cin, cout, k, R = 1, 16, 256, 4, 5, 3, 2
+    x = rng.standard_normal((b, h, w, cin)).astype(np.float32)
+    offset = np.clip(rng.standard_normal((b, h, w, 2 * k * k)) * 1.7,
+                     -R + 0.01, R - 0.01).astype(np.float32)
+    mask = rng.uniform(0, 1, (b, h, w, k * k)).astype(np.float32)
+    weight = (rng.standard_normal((k, k, cin, cout)) * 0.3).astype(np.float32)
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+    exact = deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
+                          jnp.asarray(mask), jnp.asarray(weight),
+                          jnp.asarray(bias))
+    tiled = deform_conv2d_pallas_v4(jnp.asarray(x), jnp.asarray(offset),
+                                    jnp.asarray(mask), jnp.asarray(weight),
+                                    jnp.asarray(bias), max_offset=R,
+                                    tile_w=128)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(exact),
+                               rtol=1e-4, atol=1e-4)
