@@ -95,13 +95,13 @@ def pallas_sampling_feasible(h: int, w: int, c: int, cout: int, R: int,
     can disagree, and a True here must mean the v4 kernel actually
     lowers."""
     try:
-        # Untiled only: column tiling (tile_w) exists and passes interpret
-        # -mode parity, but is NOT yet hardware-validated — a kernel
-        # structure that Mosaic loops on wedges the remote compile service
-        # indefinitely (observed 2026-08-17 with the two-dynamic-dim DMA
-        # variant), so auto-enabling it at 4K is gated until a real-TPU
-        # compile succeeds. 4K therefore still reports infeasible ->
-        # callers fall back to the XLA shifts op.
+        # Untiled only. The pre-gathered column-tiled variant (tile_w) IS
+        # hardware-validated at small shapes (lowers on real Mosaic,
+        # matches the untiled kernel's numerics exactly, 2026-08-17), but
+        # at 4K size (TW=1920, bf16) its compile did not finish within
+        # 25 minutes on this toolchain — auto-enabling would trade a
+        # working XLA-shifts 4K path for an unbounded compile. Opt in
+        # explicitly via deform_conv2d_pallas_v4(..., tile_w=...).
         _pick_th_v4(h, w, _pad128(c), _pad128(cout), R + 1, 3,
                     itemsize=itemsize)
         return True
@@ -583,8 +583,8 @@ def deform_conv2d_pallas_v4(
         TH = _pick_th_v4(h, TW, cpad, coutp, M, kh, itemsize=isz,
                          stage_columns=stage_columns, samp_bufs=samp_bufs)
     else:
-        # Default = untiled (see pallas_sampling_feasible: auto column
-        # tiling is gated until hardware-validated); pass tile_w to tile.
+        # Default = untiled (see pallas_sampling_feasible: 4K-size tiled
+        # compiles exceed 25 min on this toolchain); tile_w opts in.
         TH = _pick_th_v4(h, w, cpad, coutp, M, kh, itemsize=isz,
                          stage_columns=stage_columns, samp_bufs=samp_bufs)
         TW = w
