@@ -1,7 +1,12 @@
 # Convenience entry points (pure-Python package; no build step required —
 # the native loader compiles on demand via vfi_tpu/native/build.py).
 
-.PHONY: test native bench train eval verify-multichip
+.PHONY: test native bench train eval verify-multichip tpu-smoke
+
+# Hardware-in-the-loop Pallas kernel regression (real TPU, bounded
+# subprocess per case; writes artifacts/tpu_smoke.json)
+tpu-smoke:
+	python tools/tpu_smoke.py
 
 test:
 	python -m pytest tests/ -q

@@ -122,7 +122,9 @@ def main() -> int:
                   f"_b{shape.get('b', B)}_{used}",
         "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / CPU_BASELINE_FPS, 2),
+        # smoke runs a tiny shape on CPU: dividing by the 720p CPU baseline
+        # would print a meaningless ratio, so report null there
+        "vs_baseline": None if smoke else round(fps / CPU_BASELINE_FPS, 2),
     }))
     return 0
 

@@ -91,3 +91,19 @@ def test_cli_override_rejects_non_numeric_float():
 
     with pytest.raises((ValueError, TypeError)):
         load_train_config(None, ["--learning_rate", "fast"])
+
+
+def test_bool_value_rejected_for_numeric_fields():
+    # `--learning_rate true` must raise, not silently store True in a float
+    # field (bools are ints in Python).
+    import pytest
+
+    from vfi_tpu.utils.config import load_train_config
+
+    with pytest.raises(ValueError):
+        load_train_config(overrides=["--learning_rate", "true"])
+    with pytest.raises(ValueError):
+        load_train_config(overrides=["--num_epochs", "false"])
+    # bool fields still accept the usual spellings
+    cfg = load_train_config(overrides=["--bf16", "false", "--resume", "1"])
+    assert cfg.bf16 is False and cfg.resume is True

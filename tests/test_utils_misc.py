@@ -191,7 +191,11 @@ def test_evaluate_flow_rescales_to_gt_grid(tmp_path):
     assert rep["mean_epe"] < 1e-4
 
 
-def test_evaluate_flow_skips_scenes_without_frames(tmp_path):
+def test_evaluate_flow_raises_when_nothing_matches(tmp_path):
+    # An empty sweep must not report a perfect 0.0 EPE (a wrong path would
+    # otherwise read as a great score) — it raises instead.
+    import pytest
+
     from vfi_tpu.cli.eval import evaluate_flow
     from vfi_tpu.utils.flo import write_flo
 
@@ -199,6 +203,6 @@ def test_evaluate_flow_skips_scenes_without_frames(tmp_path):
     d.mkdir(parents=True)
     write_flo(str(d / "flow10.flo"), np.zeros((8, 8, 2), np.float32))
     (tmp_path / "frames").mkdir()
-    rep = evaluate_flow(lambda a, b: None, str(tmp_path / "frames"),
-                        str(tmp_path / "gt"))
-    assert rep["scenes"] == {}
+    with pytest.raises(FileNotFoundError):
+        evaluate_flow(lambda a, b: None, str(tmp_path / "frames"),
+                      str(tmp_path / "gt"))

@@ -58,7 +58,13 @@ def evaluate_flow(flow_fn, frames_dir: str, gt_flow_dir: str,
             pred[..., 0] *= gw / w
             pred[..., 1] *= gh / h
         results[scene] = endpoint_error(pred, gt)
-    mean = float(sum(results.values()) / max(len(results), 1))
+    if not results:
+        # An empty sweep must not read as a perfect 0.0 EPE — a wrong
+        # --data-dir/--gt_flow_dir would otherwise look like a great score.
+        raise FileNotFoundError(
+            f"no (GT flow, frame pair) matches found under {gt_flow_dir!r} / "
+            f"{frames_dir!r} — check the paths")
+    mean = float(sum(results.values()) / len(results))
     return {"scenes": results, "mean_epe": mean}
 
 
@@ -159,6 +165,14 @@ def main(argv=None) -> int:
     ds = TripletDataset(args.data_dir, args.frame_interval, augment=None,
                         normalize=False)
 
+    # Scenes with too few frames to form a triplet (e.g. the bundled val
+    # Teddy has only 2 frames) are necessarily excluded — state that in the
+    # output instead of silently averaging over fewer scenes.
+    all_scenes = sorted(d for d in os.listdir(args.data_dir)
+                        if os.path.isdir(os.path.join(args.data_dir, d)))
+    covered = {os.path.basename(os.path.dirname(t[0])) for t in ds.triplets}
+    excluded = [s for s in all_scenes if s not in covered]
+
     metric_fn = jax.jit(lambda p, t: (psnr(p, t), ssim(p, t)))
     per_scene = defaultdict(lambda: {"psnr": [], "ssim": []})
     # group triplets by spatial shape so batches stay static-shaped
@@ -188,11 +202,16 @@ def main(argv=None) -> int:
     mean_ssim = float(np.mean([r["ssim"] for r in rows.values()]))
     if args.json:
         print(json.dumps({"scenes": rows, "mean_psnr": mean_psnr,
-                          "mean_ssim": mean_ssim}))
+                          "mean_ssim": mean_ssim,
+                          "excluded_scenes": excluded}))
     else:
         for scene, r in rows.items():
             print(f"{scene:20s} PSNR {r['psnr']:6.2f} dB  SSIM {r['ssim']:.4f}  (n={r['n']})")
-        print(f"{'MEAN':20s} PSNR {mean_psnr:6.2f} dB  SSIM {mean_ssim:.4f}")
+        print(f"{'MEAN':20s} PSNR {mean_psnr:6.2f} dB  SSIM {mean_ssim:.4f} "
+              f"({len(rows)}/{len(all_scenes)} scenes)")
+        if excluded:
+            print(f"excluded (no triplet at interval "
+                  f"{args.frame_interval}): {', '.join(excluded)}")
     return 0
 
 

@@ -32,6 +32,16 @@ def main(argv=None) -> int:
     vid.add_argument("--frame_interval", type=int, default=1)
     vid.add_argument("--codec", default="mp4v")
     vid.add_argument("--scale", type=float, default=0.5)
+    # Drop-in parity with the reference CLI (inference.py:23-35): --bitrate
+    # is parsed there but never used (its VideoWriter ignores it), and
+    # --device picks cuda/cpu. Both are accepted and ignored here (the TPU
+    # runtime owns device placement).
+    vid.add_argument("--bitrate", default=None,
+                     help="accepted for reference-CLI compatibility; unused "
+                          "(the reference never used it either)")
+    vid.add_argument("--device", default=None,
+                     help="accepted for reference-CLI compatibility; ignored "
+                          "(JAX owns device placement)")
     vid.add_argument("--batch_pairs", type=int, default=8)
     vid.add_argument("--fp32", action="store_true")
     vid.add_argument("--reference-compat", action="store_true",

@@ -152,13 +152,16 @@ class FrameInterpolator:
             f1 = np.concatenate([f1, np.repeat(f1[-1:], pad, axis=0)])
         if self._spatial_manual:
             # The halo-exchange pipeline needs H % (4 * spatial) == 0
-            # (strided context-encoder grid alignment). Real resolutions
-            # (1080 at spatial=4) don't comply: pad the bottom with edge
+            # (strided context-encoder grid alignment) AND — for the Pallas
+            # DCN gate — a per-shard slab height (h_local + 2*halo) divisible
+            # by 8; with halo already a multiple of 8 that means
+            # h_local % 8 == 0, i.e. H % (8 * spatial) == 0. Real resolutions
+            # (1080 at spatial=2) don't comply: pad the bottom with edge
             # replication and crop. Rows further than the halo from the
             # padded boundary are exact; the last few rows see a slightly
             # displaced frame boundary.
             h = f0.shape[1]
-            mult = 4 * self.mesh.shape["spatial"]
+            mult = 8 * self.mesh.shape["spatial"]
             hpad = (-h) % mult
             if hpad:
                 f0 = np.concatenate([f0, np.repeat(f0[:, -1:], hpad, axis=1)], axis=1)

@@ -146,17 +146,28 @@ def interpolate_video(
             pend_f0.clear()
             pend_f1.clear()
 
+        # tqdm over source frames, like the reference's frame loop
+        # (inference.py:156-157); falls back to no bar if tqdm is absent.
+        try:
+            from tqdm import tqdm
+            bar = tqdm(total=n_frames or None, desc="interpolating", unit="frame")
+        except ImportError:
+            bar = None
         while True:
             item = frames_q.get()
             if item is None:
                 break
             read += 1
+            if bar is not None:
+                bar.update(frame_interval)
             if prev is not None:
                 pend_f0.append(prev)
                 pend_f1.append(item)
                 if len(pend_f0) >= batch_pairs:
                     flush()
             prev = item
+        if bar is not None:
+            bar.close()
         flush()
         if prev is not None and not reference_compat:
             writer.write(_to_u8(prev, swap_rgb, False))  # trailing source frame

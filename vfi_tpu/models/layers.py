@@ -32,6 +32,22 @@ Dtype = Any
 torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
+_pallas_rejected_shapes: set = set()
+
+
+def _warn_pallas_rejected(h: int, w: int, c: int) -> None:
+    """Trace-time notice (once per shape) that use_pallas=True fell back to
+    the XLA shifts op because no VMEM-feasible row slab exists — e.g. a
+    spatially-sharded slab height not divisible by 8, or 4K widths. The
+    numerics are identical but the documented Pallas speedup is absent."""
+    key = (h, w, c)
+    if key not in _pallas_rejected_shapes:
+        _pallas_rejected_shapes.add(key)
+        print(f"[vfi_tpu] use_pallas requested but no feasible row slab for "
+              f"input {h}x{w}x{c}; DCN falls back to the XLA shifts op "
+              f"(same numerics, no Pallas speedup)")
+
+
 def torch_bias_init(kernel_shape: Sequence[int]):
     """PyTorch Conv2d/Linear bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
 
@@ -171,6 +187,7 @@ class ModulatedDeformConv(nn.Module):
                         mask.astype(dtype), weight.astype(dtype),
                         bias.astype(dtype) if bias is not None else None,
                         self.max_offset)
+                _warn_pallas_rejected(x.shape[1], x.shape[2], x.shape[3])
             return deform_conv2d_shifts(
                 x.astype(dtype), offset.astype(dtype), mask.astype(dtype),
                 weight.astype(dtype),

@@ -89,11 +89,11 @@ def _pick_th(h: int, w: int, cpad: int, cout: int, m: int,
 
 def pallas_sampling_feasible(h: int, w: int, c: int, cout: int, R: int,
                              itemsize: int = 2) -> bool:
-    """Static check: can the fused kernel fit a (possibly column-tiled)
-    row slab into VMEM? Callers fall back to the XLA shifts op when False.
-    Gates on the PRODUCTION kernel's picker (_pick_th_tw_v4): the pickers
-    can disagree, and a True here must mean the v4 kernel actually
-    lowers."""
+    """Static check: can the fused kernel fit an UNTILED full-width row
+    slab into VMEM? Callers fall back to the XLA shifts op when False.
+    Gates on `_pick_th_v4` (untiled) so a True here means the production
+    kernel configuration actually lowers; the column-tiled variant
+    (`tile_w`) remains an explicit opt-in and is never auto-gated."""
     try:
         # Untiled only. The pre-gathered column-tiled variant (tile_w) IS
         # hardware-validated at small shapes (lowers on real Mosaic,

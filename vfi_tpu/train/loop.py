@@ -408,6 +408,13 @@ class Trainer:
                                     cfg.best_model_path + ".flow.npz")
                 log(f"  new best val loss {val_loss:.4f} -> {cfg.best_model_path}.npz")
 
+            if cfg.snapshot_every > 0 and (epoch + 1) % cfg.snapshot_every == 0:
+                from vfi_tpu.train.checkpoints import save_params_npz
+                snap_dir = os.path.join(cfg.checkpoint_path, "snapshots")
+                os.makedirs(snap_dir, exist_ok=True)
+                save_params_npz(self._model_params(self.state.params),
+                                os.path.join(snap_dir, f"epoch_{epoch + 1}.npz"))
+
             # ---- schedule + checkpoint ----
             new_lr = self.scheduler.step(val_loss)
             self.state = set_learning_rate(self.state, new_lr)

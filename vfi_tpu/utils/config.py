@@ -105,6 +105,10 @@ class TrainConfig:
     output_image_path: str = "output_images"
     resume: bool = True            # addition: the reference cannot resume
     keep_checkpoints: int = 3
+    # > 0: additionally save a model-only npz snapshot every N epochs under
+    # <checkpoint_path>/snapshots/ (cheap at 1.43M params; enables
+    # budget-matched cross-framework quality comparisons at any epoch).
+    snapshot_every: int = 0
 
     # Model
     in_channels: int = 3
@@ -175,7 +179,7 @@ def _coerce_scalar(value, hint, path: str):
             return tuple(_coerce_scalar(v, a, path) for v, a in zip(value, args))
         elem = args[0] if args else None
         return tuple(_coerce_scalar(v, elem, path) if elem else v for v in value)
-    if hint is bool or isinstance(value, bool):
+    if hint is bool:
         if isinstance(value, bool):
             return value
         if isinstance(value, str):
@@ -184,12 +188,18 @@ def _coerce_scalar(value, hint, path: str):
                 return True
             if low in ("false", "no", "0", "off"):
                 return False
-        if isinstance(value, int) and hint is bool:
+        if isinstance(value, int):
             return bool(value)
         raise ValueError(f"Config key {path}: expected bool, got {value!r}")
     if hint is float:
+        if isinstance(value, bool):
+            # bools are ints in Python: without this, `--learning_rate true`
+            # would silently store True in a float field
+            raise ValueError(f"Config key {path}: expected float, got bool {value!r}")
         return float(value)
     if hint is int:
+        if isinstance(value, bool):
+            raise ValueError(f"Config key {path}: expected int, got bool {value!r}")
         f = float(value)
         if f != int(f):
             raise ValueError(f"Config key {path}: expected int, got {value!r}")
