@@ -67,6 +67,43 @@ def deform_conv2d_torch(x, offset, mask, weight, bias, stride=1, padding=1):
     return out
 
 
+def deform_conv2d_torch_fast(x, offset, mask, weight, bias, stride=1, padding=1):
+    """Same DCNv2 semantics as `deform_conv2d_torch`, but the fractional
+    sampling runs through `F.grid_sample` (native C++ bilinear, zeros
+    padding, align_corners=True == exact-pixel coordinates) — one call per
+    kernel tap instead of 36 python-level gathers. ~1-2 orders of magnitude
+    faster on CPU; validated against `deform_conv2d_torch` in
+    tests/test_parity.py. Used by the reference-semantics CPU baseline
+    training (tools/train_reference_cpu.py) where the slow oracle is
+    intractable."""
+    b, cin, h, w = x.shape
+    cout, _, kh, kw = weight.shape
+    assert stride == 1, "baseline model uses stride 1"
+    ho = h + 2 * padding - (kh - 1) - 1 + 1
+    wo = w + 2 * padding - (kw - 1) - 1 + 1
+    taps = kh * kw
+    off = offset.view(b, taps, 2, ho, wo)
+    msk = mask.view(b, taps, ho, wo)
+    ys_base = torch.arange(ho, dtype=x.dtype).view(1, -1, 1) - padding
+    xs_base = torch.arange(wo, dtype=x.dtype).view(1, 1, -1) - padding
+    out = torch.zeros(b, cout, ho, wo, dtype=x.dtype)
+    for i in range(kh):
+        for j in range(kw):
+            t = i * kw + j
+            ys = ys_base + i + off[:, t, 0]
+            xs = xs_base + j + off[:, t, 1]
+            gx = 2.0 * xs / max(w - 1, 1) - 1.0
+            gy = 2.0 * ys / max(h - 1, 1) - 1.0
+            sampled = F.grid_sample(x, torch.stack([gx, gy], dim=-1),
+                                    mode="bilinear", padding_mode="zeros",
+                                    align_corners=True)
+            sampled = sampled * msk[:, t].unsqueeze(1)
+            out += torch.einsum("bchw,oc->bohw", sampled, weight[:, :, i, j])
+    if bias is not None:
+        out = out + bias.view(1, -1, 1, 1)
+    return out
+
+
 def _conv(i, o, k=3, s=1, p=1):
     return nn.Conv2d(i, o, k, s, p)
 
@@ -79,7 +116,8 @@ class ModulatedDeformConvPack(nn.Module):
     """Reference's pack (ema_vfi.py:23-60): zero-init offset conv whose 27ch
     output is chunked (static, mask, dynamic); out_channels == in_channels."""
 
-    def __init__(self, in_channels, kernel_size=3, stride=1, padding=1):
+    def __init__(self, in_channels, kernel_size=3, stride=1, padding=1,
+                 fast=False):
         super().__init__()
         self.offset_conv = nn.Conv2d(in_channels, 3 * kernel_size * kernel_size,
                                      kernel_size, stride, padding)
@@ -89,21 +127,24 @@ class ModulatedDeformConvPack(nn.Module):
         self.dcn_v2 = nn.Conv2d(in_channels, in_channels, kernel_size, stride, padding)
         self.stride = stride
         self.padding = padding
+        self.fast = fast
 
     def forward(self, x):
         raw = self.offset_conv(x)
         off_s, mask, off_d = torch.chunk(raw, 3, dim=1)
         offset = torch.cat((off_s, off_d), dim=1)
-        return deform_conv2d_torch(x, offset, torch.sigmoid(mask),
-                                   self.dcn_v2.weight, self.dcn_v2.bias,
-                                   self.stride, self.padding)
+        fn = deform_conv2d_torch_fast if self.fast else deform_conv2d_torch
+        return fn(x, offset, torch.sigmoid(mask),
+                  self.dcn_v2.weight, self.dcn_v2.bias,
+                  self.stride, self.padding)
 
 
 class EMA_VFI_Torch(nn.Module):
     """Reference-named torch model (state_dict compatible with the real
     reference checkpoints)."""
 
-    def __init__(self, in_channels=3, mid_channels=64, num_blocks=3):
+    def __init__(self, in_channels=3, mid_channels=64, num_blocks=3,
+                 fast_dcn=False):
         super().__init__()
         m = mid_channels
         self.feat_ext_conv1 = _conv_block(in_channels * 2, m)
@@ -116,7 +157,8 @@ class EMA_VFI_Torch(nn.Module):
         self.motion_estimation = nn.Sequential(
             _conv_block(2 * m, m), _conv_block(m, m), _conv(m, 2))
         self.attention_blocks = nn.ModuleList(
-            [ModulatedDeformConvPack(m + in_channels) for _ in range(num_blocks)])
+            [ModulatedDeformConvPack(m + in_channels, fast=fast_dcn)
+             for _ in range(num_blocks)])
         self.reconstruction = nn.Sequential(
             _conv_block(m + in_channels, m), _conv_block(m, m // 2),
             _conv(m // 2, in_channels), nn.Tanh())

@@ -1,0 +1,150 @@
+"""Hardware-in-the-loop Pallas kernel regression smoke (`make tpu-smoke`).
+
+The Pallas unit tests run in interpret mode (CPU), so a Mosaic/toolchain
+bump could silently break the production kernels' lowering or numerics on
+the real chip between benches. This drives each production kernel at a
+small shape ON THE REAL TPU, asserts numerics against the XLA reference
+ops, and writes `artifacts/tpu_smoke.json`. It plays the role torchvision's
+CI plays for the reference's DeformConv2d (reference
+src/models/ema_vfi.py:45-51): an executable guarantee that the native
+sampling kernels still work.
+
+Every case runs in a BOUNDED SUBPROCESS: a kernel structure Mosaic loops on
+can wedge this environment's remote compile relay for 45+ minutes (see
+docs/PERFORMANCE.md "Operational hazard"), so a hung compile must die by
+timeout without taking the parent with it.
+
+Usage:
+    python tools/tpu_smoke.py              # all cases, ~2-4 min total
+    python tools/tpu_smoke.py --case dcn_v4   # one case, in-process
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CASES = ("dcn_v4", "dcn_v4_tiled", "warp_v2")
+PER_CASE_TIMEOUT_S = 420  # first compile 20-40s; relay may queue behind other work
+
+
+def _dcn_inputs(h, w, c, cout, R, dtype, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((1, h, w, c)).astype(np.float32)
+    # trained-regime offsets (|d| ~ 0.3 px straddling zero — representative
+    # of real serving, docs/PERFORMANCE.md offset_stats finding)
+    off = rng.uniform(-0.3, 0.3, (1, h, w, 2 * 9)).astype(np.float32)
+    msk = rng.uniform(0.2, 1.0, (1, h, w, 9)).astype(np.float32)
+    wgt = (rng.standard_normal((3, 3, c, cout)) / np.sqrt(9 * c)).astype(np.float32)
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+    return x, off, msk, wgt, bias
+
+
+def run_case(case: str) -> dict:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vfi_tpu.ops.deform_conv_shifts import deform_conv2d_shifts
+    from vfi_tpu.ops.pallas.sampling import (bounded_warp_pallas_v2,
+                                             deform_conv2d_pallas_v4)
+    from vfi_tpu.ops.warp import warp
+
+    t0 = time.time()
+    if case == "dcn_v4":
+        # production untiled kernel, bf16 (the flagship's serving dtype)
+        x, off, msk, wgt, bias = _dcn_inputs(32, 256, 67, 67, 2, "bf16")
+        args = [jnp.asarray(a, jnp.bfloat16) for a in (x, off, msk, wgt, bias)]
+        got = np.asarray(deform_conv2d_pallas_v4(*args, max_offset=2),
+                         np.float32)
+        ref = np.asarray(deform_conv2d_shifts(*args, max_offset=2), np.float32)
+        tol = 5e-2  # bf16 blend + MXU bf16 passes
+    elif case == "dcn_v4_tiled":
+        # column-tiled variant at its hardware-validated small shape, f32:
+        # must match the untiled kernel bit-for-bit
+        x, off, msk, wgt, bias = _dcn_inputs(16, 256, 67, 67, 2, "f32")
+        args = [jnp.asarray(a) for a in (x, off, msk, wgt, bias)]
+        got = np.asarray(deform_conv2d_pallas_v4(*args, max_offset=2,
+                                                 tile_w=128), np.float32)
+        ref = np.asarray(deform_conv2d_pallas_v4(*args, max_offset=2),
+                         np.float32)
+        tol = 1e-5
+    elif case == "warp_v2":
+        import numpy as np_
+
+        rng = np_.random.default_rng(1)
+        img = rng.random((1, 32, 256, 3)).astype(np_.float32)
+        flow = (rng.random((1, 32, 256, 2)).astype(np_.float32) - 0.5) * 12.0
+        got = np.asarray(bounded_warp_pallas_v2(
+            jnp.asarray(img, jnp.bfloat16), jnp.asarray(flow, jnp.bfloat16),
+            max_flow=16), np.float32)
+        ref = np.asarray(warp(jnp.asarray(img, jnp.bfloat16),
+                              jnp.asarray(flow, jnp.bfloat16)), np.float32)
+        tol = 3e-2  # bf16 coordinate weights
+    else:
+        raise ValueError(f"unknown case {case!r}")
+
+    err = float(np.max(np.abs(got - ref)))
+    return {"case": case, "ok": bool(err <= tol), "max_err": err, "tol": tol,
+            "seconds": round(time.time() - t0, 1)}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", choices=CASES, default=None,
+                    help="run ONE case in-process (subprocess entry)")
+    ap.add_argument("--timeout", type=int, default=PER_CASE_TIMEOUT_S)
+    ap.add_argument("--out", default=os.path.join(REPO, "artifacts",
+                                                  "tpu_smoke.json"))
+    args = ap.parse_args(argv)
+
+    if args.case:
+        res = run_case(args.case)
+        print(json.dumps(res))
+        return 0 if res["ok"] else 1
+
+    results = []
+    for case in CASES:
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--case", case],
+                capture_output=True, text=True, timeout=args.timeout,
+                cwd=REPO)
+            line = [ln for ln in proc.stdout.splitlines()
+                    if ln.startswith("{")]
+            if line:
+                results.append(json.loads(line[-1]))
+            else:
+                results.append({"case": case, "ok": False,
+                                "error": f"rc={proc.returncode}",
+                                "stderr_tail": proc.stderr[-500:],
+                                "seconds": round(time.time() - t0, 1)})
+        except subprocess.TimeoutExpired:
+            results.append({"case": case, "ok": False,
+                            "error": f"timeout after {args.timeout}s "
+                                     "(compile hang? see docs/PERFORMANCE.md)",
+                            "seconds": round(time.time() - t0, 1)})
+        print(f"  {results[-1]}", flush=True)
+
+    import datetime
+
+    report = {"when": datetime.datetime.now().isoformat(timespec="seconds"),
+              "all_ok": all(r["ok"] for r in results), "cases": results}
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"tpu-smoke: {'OK' if report['all_ok'] else 'FAILED'} -> {args.out}")
+    return 0 if report["all_ok"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
