@@ -150,8 +150,9 @@ def test_infer_two_frame_cli(tmp_path, rng):
 
 
 def test_video_reference_compat_ordering(tiny_interp, tmp_path, rng):
-    """Compat mode: per pair write [midpoint x factor, frame1]; frame0 of
-    the first pair never written (reference inference.py:180-188)."""
+    """Compat mode: per pair write [midpoint x factor, pair's FIRST frame],
+    plus the final source frame at stream end (reference
+    inference.py:173-188,167)."""
     cv2 = pytest.importorskip("cv2")
     from vfi_tpu.infer.video import interpolate_video
     from vfi_tpu.models import EMAVFI
@@ -174,8 +175,9 @@ def test_video_reference_compat_ordering(tiny_interp, tmp_path, rng):
     stats = interpolate_video(src, dst, interp, target_fps=60.0, scale=1.0,
                               batch_pairs=2, reference_compat=True)
     # factor = round(60/15 - 1) = 3; (n-1) pairs * (3 interp + 1 original)
+    # + the trailing source frame (reference inference.py:167)
     assert stats["factor"] == 3
-    assert stats["frames_written"] == (n - 1) * 4
+    assert stats["frames_written"] == (n - 1) * 4 + 1
 
 
 def test_video_spatially_sharded(tmp_path, rng):

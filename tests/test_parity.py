@@ -115,3 +115,104 @@ def test_pth_file_conversion_roundtrip(torch_model, tmp_path, rng):
     ):
         assert p1 == p2
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_video_pipeline_golden_vs_torch_reference(torch_model, tmp_path, rng):
+    """End-to-end video pipeline golden test: the reference CLI's exact
+    output semantics (frame ordering, duplicated midpoints, no-BGR-swap
+    normalization, denormalize-shift on predictions, trailing final frame —
+    reference inference.py:156-205) emulated with the torch reconstruction
+    must match vfi_tpu's `interpolate_video(reference_compat=True)`
+    frame-for-frame on the same clip. Pins all three quirks end to end."""
+    cv2 = pytest.importorskip("cv2")
+
+    from vfi_tpu.infer.pair import FrameInterpolator
+    from vfi_tpu.infer.video import interpolate_video
+    from vfi_tpu.utils.convert import convert_ema_vfi_state_dict
+
+    # --- shared tiny clip (lossy-encoded once; both sides decode the same
+    # bytes, so codec noise cancels) ---
+    src = str(tmp_path / "in.avi")
+    w, h, n = 64, 48, 5
+    writer = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"MJPG"), 15.0, (w, h))
+    base = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+    for i in range(n):
+        writer.write(np.roll(base, 2 * i, axis=1))
+    writer.release()
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    factor = 2  # target 45 fps at src 15: round(45/15 - 1)
+
+    # --- torch side: reference-semantics emulation ---
+    def t_process(frame_bgr):
+        # reference process_frame: resize (none at scale 1), ToTensor,
+        # Normalize with RGB stats on the BGR array (the quirk)
+        x = frame_bgr.astype(np.float32) / 255.0
+        x = (x - mean) / std
+        return torch.from_numpy(x.transpose(2, 0, 1))[None]
+
+    def t_denorm(tensor):
+        x = tensor[0].detach().numpy().transpose(1, 2, 0)
+        x = np.clip(x * std + mean, 0, 1)
+        return (x * 255).astype(np.uint8)
+
+    cap = cv2.VideoCapture(src)
+    frames = []
+    ok, f = cap.read()
+    while ok:
+        frames.append(f)
+        ok, f = cap.read()
+    cap.release()
+
+    expected = []
+    with torch.no_grad():
+        f1_t = t_process(frames[0])
+        for f2 in frames[1:]:
+            f2_t = t_process(f2)
+            pred = torch_model(f1_t, f2_t)
+            for _ in range(factor):          # duplicated midpoint
+                expected.append(t_denorm(pred))
+            expected.append(t_denorm(f1_t))  # pair's FIRST frame trails
+            f1_t = f2_t
+        expected.append(t_denorm(f1_t))      # trailing final frame
+
+    # --- vfi_tpu side: real pipeline, writer stubbed to capture frames ---
+    sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
+    params = jax.tree.map(jnp.asarray,
+                          convert_ema_vfi_state_dict(sd, num_blocks=2))
+    interp = FrameInterpolator(params, bf16=False, reference_compat=True,
+                               mid_channels=16, num_blocks=2)
+
+    captured = []
+
+    class CaptureWriter:
+        def __init__(self, *a, **k):
+            pass
+
+        def isOpened(self):
+            return True
+
+        def write(self, frame):
+            captured.append(np.asarray(frame))
+
+        def release(self):
+            pass
+
+    real_writer = cv2.VideoWriter
+    cv2.VideoWriter = CaptureWriter
+    try:
+        stats = interpolate_video(src, str(tmp_path / "out.avi"), interp,
+                                  target_fps=45.0, scale=1.0, batch_pairs=2,
+                                  reference_compat=True)
+    finally:
+        cv2.VideoWriter = real_writer
+
+    assert stats["factor"] == factor
+    assert len(captured) == len(expected) == (n - 1) * (factor + 1) + 1
+    for k, (got, exp) in enumerate(zip(captured, expected)):
+        # u8 after float round trips: allow 2 counts on predictions (two
+        # frameworks' conv stacks), 1 on pass-through source frames
+        tol = 2 if (k % (factor + 1)) < factor and k < len(captured) - 1 else 1
+        diff = np.abs(got.astype(np.int32) - exp.astype(np.int32)).max()
+        assert diff <= tol, f"frame {k}: max u8 diff {diff} > {tol}"

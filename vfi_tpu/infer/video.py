@@ -131,12 +131,18 @@ def interpolate_video(
                 per_pair = [[o[i] for o in outs] for i in range(len(pend_f0))]
             for i in range(len(pend_f0)):
                 if reference_compat:
-                    # reference order: interpolated frames, THEN the source
-                    # frame1 (inference.py:180-188; frame0 of the first pair
-                    # is never written).
+                    # reference order (inference.py:173-188): the
+                    # interpolated frames (denormalize_frame applies the
+                    # inverse-ImageNet shift to the model's [0,1] output —
+                    # the quirk), THEN the pair's FIRST source frame, whose
+                    # `denormalize_frame(frame1_tensor)` round trip is the
+                    # IDENTITY (normalize then inverse-normalize) — so the
+                    # source frame is written unshifted. The final source
+                    # frame is written once at stream end
+                    # (inference.py:167,201).
                     for m in per_pair[i]:
                         writer.write(_to_u8(m, swap_rgb, True))
-                    writer.write(_to_u8(pend_f1[i], swap_rgb, True))
+                    writer.write(_to_u8(pend_f0[i], swap_rgb, False))
                     written += factor + 1
                 else:
                     writer.write(_to_u8(pend_f0[i], swap_rgb, False))
@@ -169,8 +175,10 @@ def interpolate_video(
         if bar is not None:
             bar.close()
         flush()
-        if prev is not None and not reference_compat:
-            writer.write(_to_u8(prev, swap_rgb, False))  # trailing source frame
+        if prev is not None:
+            # trailing source frame — the reference writes it too, raw
+            # (inference.py:167), which equals the unshifted round trip
+            writer.write(_to_u8(prev, swap_rgb, False))
             written += 1
         writer.release()
         return {"frames_read": read, "frames_written": written,
