@@ -25,6 +25,32 @@ def test_plateau_scheduler_torch_semantics():
     assert s.step(0.9) == 0.25
 
 
+def test_cosine_scheduler_single_anneal():
+    from vfi_tpu.train.state import CosineScheduler
+
+    s = CosineScheduler(lr0=1.0, total=10, min_lr=0.0)
+    assert s.lr == 1.0                      # epoch 1 runs at lr0
+    lrs = [s.step(0.0) for _ in range(10)]
+    assert abs(lrs[4] - 0.5) < 1e-9         # t=5 of 10 -> cos(pi/2)
+    assert lrs[-1] == 0.0                   # fully annealed at t=total
+    assert s.step(0.0) == 0.0               # holds at min_lr past total
+    assert all(a >= b for a, b in zip(lrs, lrs[1:]))  # monotone
+
+
+def test_cosine_scheduler_warm_restarts_and_roundtrip():
+    from vfi_tpu.train.state import CosineScheduler
+
+    s = CosineScheduler(lr0=1.0, total=20, period=5, min_lr=0.1)
+    lrs = [s.step(0.0) for _ in range(10)]
+    assert abs(lrs[4] - 1.0) < 1e-12        # restarts at t=5, 10
+    assert abs(lrs[9] - 1.0) < 1e-12
+    assert min(lrs) >= 0.1 - 1e-12
+    d = s.state_dict()
+    s2 = CosineScheduler(lr0=9.9, total=20, period=5)
+    s2.load_state_dict(d)
+    assert s2.step(0.0) == s.step(0.0)
+
+
 def test_scheduler_state_roundtrip():
     s = PlateauScheduler(lr=0.1)
     s.step(1.0); s.step(2.0)

@@ -37,7 +37,7 @@ from vfi_tpu.models import EMAVFI
 from vfi_tpu.models.vgg import VGG16Features, LAYER_INDEX
 from vfi_tpu.parallel import batch_sharding, make_mesh, replicated, shard_batch
 from vfi_tpu.train.checkpoints import CheckpointManager
-from vfi_tpu.train.state import (PlateauScheduler, TrainState,
+from vfi_tpu.train.state import (CosineScheduler, PlateauScheduler, TrainState,
                                  create_train_state, set_learning_rate)
 from vfi_tpu.utils.config import TrainConfig
 from vfi_tpu.utils.convert import load_params_npz
@@ -200,10 +200,18 @@ class Trainer:
 
         self.state = create_train_state(params, cfg.learning_rate,
                                         cfg.weight_decay, cfg.grad_clip_norm)
-        self.scheduler = PlateauScheduler(lr=cfg.learning_rate,
-                                          factor=cfg.plateau_factor,
-                                          patience=cfg.plateau_patience,
-                                          min_lr=cfg.plateau_min_lr)
+        if cfg.lr_schedule == "cosine":
+            self.scheduler = CosineScheduler(
+                lr0=cfg.learning_rate, total=cfg.num_epochs,
+                period=cfg.cosine_restart_period, min_lr=cfg.cosine_min_lr)
+        elif cfg.lr_schedule == "plateau":
+            self.scheduler = PlateauScheduler(lr=cfg.learning_rate,
+                                              factor=cfg.plateau_factor,
+                                              patience=cfg.plateau_patience,
+                                              min_lr=cfg.plateau_min_lr)
+        else:
+            raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r} "
+                             "(expected 'plateau' or 'cosine')")
         self.weights = LossWeights(
             charbonnier=cfg.charbonnier_weight, vgg=cfg.vgg_weight,
             color=cfg.color_weight, gradient=cfg.gradient_weight,

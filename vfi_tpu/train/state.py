@@ -105,3 +105,56 @@ class PlateauScheduler:
         self.lr = float(d["lr"])
         self.best = float(d["best"])
         self.num_bad = int(d["num_bad"])
+
+
+@dataclass
+class CosineScheduler:
+    """Host-side cosine decay, optionally with warm restarts (SGDR-style).
+
+    Same `step(val_loss)`/state_dict interface as PlateauScheduler so the
+    Trainer/checkpoints treat both uniformly (val_loss is ignored; the
+    schedule is epoch-clocked). `period` is the restart period in epochs;
+    period == total gives a single cosine over the run. Quality lever for
+    long runs where the reference's plateau schedule (noisy 15-step/epoch
+    val loss, patience 5) decays the lr to its floor long before
+    convergence (docs/PERFORMANCE.md round-1 training findings).
+    """
+
+    lr0: float
+    total: int
+    period: int = 0  # 0 -> single cosine over `total`; >0 -> warm restarts
+    min_lr: float = 1e-5
+    t: int = 0
+    lr: float = 0.0
+    restarts: bool = False
+
+    def __post_init__(self):
+        self.restarts = self.period > 0
+        if self.period <= 0:
+            self.period = max(self.total, 1)
+        if self.lr == 0.0:
+            self.lr = self.lr0
+
+    def step(self, val_loss: float) -> float:  # noqa: ARG002 (interface)
+        import math
+
+        # called at epoch end: epoch e+1 runs at the cosine value for t=e+1
+        self.t += 1
+        if self.restarts:
+            tc = self.t % self.period  # t == k*period -> back to lr0
+        else:
+            tc = min(self.t, self.period)  # anneal once, hold at min_lr
+        self.lr = self.min_lr + 0.5 * (self.lr0 - self.min_lr) * (
+            1.0 + math.cos(math.pi * tc / self.period))
+        return self.lr
+
+    def state_dict(self) -> dict:
+        return {"lr": self.lr, "t": self.t, "lr0": self.lr0,
+                "period": self.period, "min_lr": self.min_lr}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.lr = float(d["lr"])
+        self.t = int(d["t"])
+        self.lr0 = float(d.get("lr0", self.lr0))
+        self.period = int(d.get("period", self.period))
+        self.min_lr = float(d.get("min_lr", self.min_lr))

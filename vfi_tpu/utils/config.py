@@ -59,6 +59,13 @@ class TrainConfig:
     # patience=5 with a noisy 7-step/epoch val loss halves the lr every
     # ~12 epochs — long runs need a floor to keep learning.
     plateau_min_lr: float = 0.0
+    # Schedule family: "plateau" (reference semantics, train.py:84) or
+    # "cosine" (TPU-side quality lever; epoch-clocked cosine decay to
+    # cosine_min_lr, with warm restarts every cosine_restart_period epochs
+    # when > 0).
+    lr_schedule: str = "plateau"
+    cosine_restart_period: int = 0
+    cosine_min_lr: float = 1e-5
 
     # Data (reference: train_config.yaml:4-5, 36-39)
     train_data_dir: str = "data/processed/train"
