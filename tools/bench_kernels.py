@@ -28,7 +28,8 @@ from vfi_tpu.ops.deform_conv_shifts import deform_conv2d_shifts
 from vfi_tpu.ops.pallas.sampling import (deform_conv2d_pallas,
                                          deform_conv2d_pallas_v4)
 
-SIZES = {"vga": (480, 640), "720p": (720, 1280), "1080p": (1080, 1920)}
+SIZES = {"vga": (480, 640), "720p": (720, 1280), "1080p": (1080, 1920),
+         "4k": (2160, 3840)}
 
 
 def make_inputs(h, w, c, r, regime, seed=0):
@@ -134,6 +135,8 @@ def main():
     p.add_argument("--radius", type=int, default=2)
     p.add_argument("--channels", type=int, default=67)
     p.add_argument("--kernels", default="xla,pallas")
+    p.add_argument("--tile_w", type=int, default=128,
+                   help="column-tile width for the v4t kernel variant")
     p.add_argument("--warp", action="store_true",
                    help="benchmark the warp kernels instead of DCN")
     args = p.parse_args()
@@ -156,6 +159,9 @@ def main():
     if "v4" in args.kernels:
         kernels["pallas-v4"] = functools.partial(
             deform_conv2d_pallas_v4, max_offset=r)
+    if "v4t" in args.kernels:  # column-tiled (the 4K path)
+        kernels[f"v4-tw{args.tile_w}"] = functools.partial(
+            deform_conv2d_pallas_v4, max_offset=r, tile_w=args.tile_w)
     if "v4b" in args.kernels:  # double-buffered sample scratch
         kernels["pallas-v4b2"] = functools.partial(
             deform_conv2d_pallas_v4, max_offset=r, samp_bufs=2)

@@ -36,7 +36,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 VARIANTS = ("cur", "precast", "bcast", "flat", "mat3d", "nomul")
-TH, W, C, K = 8, 1280, 128, 20
+# K high enough that per-call overheads (input DMA, launch, scan-carry
+# copies — measured ~600 us/call on 2026-08-17 hardware, which swamped the
+# original K=20 run and made every variant read ~34 us/term) amortize to
+# <10% of a 3 us term.
+TH, W, C, K = 8, 1280, 128, 100
 
 
 def build(variant: str):
@@ -49,7 +53,7 @@ def build(variant: str):
         # K terms: samp (+)= weight_k ⊙ rows_k, then one dummy read; rows_k
         # are row-offset slices like the production kernel's shifted reads.
         for k in range(K):
-            wk = w_ref[k]  # (TH, W) f32
+            wk = w_ref[k % 16]  # (TH, W) f32
             rows = x_ref[pl.ds(k % 8, TH), :, :]
             if variant == "cur":
                 term = (wk * 0.5)[:, :, None].astype(samp.dtype) * rows
@@ -64,7 +68,7 @@ def build(variant: str):
                         * (wk * 0.5).astype(samp.dtype).reshape(TH * W, 1)
                         ).reshape(TH, W, C)
             elif variant == "mat3d":
-                term = w3_ref[k] * rows
+                term = w3_ref[k % 8] * rows
             elif variant == "nomul":
                 term = rows
             else:
@@ -96,9 +100,16 @@ def measure(variant: str, iters: int) -> dict:
     import numpy as np
 
     rng = np.random.default_rng(0)
-    w2d = jnp.asarray(rng.random((K, TH, W)), jnp.float32)
+    # Weight banks are indexed modulo (16 planes / 8 pre-broadcast cubes) so
+    # their HBM->VMEM input copy stays constant as K grows; the unused w3d is
+    # a 1-element dummy for every variant but mat3d (the original benchmark
+    # shipped the full (K, TH, W, C) = 52 MB cube to ALL variants, whose
+    # per-call DMA flattened the variant differences).
+    w2d = jnp.asarray(rng.random((16, TH, W)), jnp.float32)
     x = jnp.asarray(rng.random((TH + 8, W, C)), jnp.bfloat16)
-    w3d = jnp.asarray(rng.random((K, TH, W, C)), jnp.bfloat16)
+    w3d = (jnp.asarray(rng.random((8, TH, W, C)), jnp.bfloat16)
+           if variant == "mat3d"
+           else jnp.zeros((8, 1, 1, 1), jnp.bfloat16))
     run = build(variant)
 
     # chain under one jit so the relay round trip amortizes

@@ -30,7 +30,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# (w, tile_w, dtype) — smallest/cheapest first; 0 tile_w = untiled control.
+# (w, tile_w, dtype[, h]) — smallest/cheapest first; 0 tile_w = untiled
+# control; h defaults to 32 (the h=32 sweep showed NO cliff anywhere at
+# bf16 — even TW=1920 compiled in 113 s — so the round-1 25-min hang must
+# involve the real image height / its TH pick; the real4k ladder pins that).
 LADDER = [
     (256, 128, "bf16"),     # bf16 at the f32-validated small tiled shape
     (1920, 960, "bf16"),    # 1080p tiled 2-col
@@ -41,6 +44,13 @@ LADDER = [
     (3840, 1920, "bf16"),   # the known-25-min case
     (1920, 0, "bf16"),      # untiled 1080p control (known-good ~fast)
     (3840, 1920, "f32"),    # dtype control at the cliff shape
+]
+
+# Real-height 4K cases (h=2160 -> TH=16 instead of the sweep's TH=8/32).
+LADDER_REAL4K = [
+    (3840, 128, "bf16", 2160),
+    (3840, 256, "bf16", 2160),
+    (3840, 384, "bf16", 2160),
 ]
 
 
@@ -68,32 +78,40 @@ def compile_case(w: int, tile_w: int, dtype_name: str, h: int = 32) -> dict:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--case", default=None, help="w:tile_w:dtype (subprocess)")
+    ap.add_argument("--case", default=None,
+                    help="w:tile_w:dtype[:h] (subprocess)")
+    ap.add_argument("--ladder", default="default",
+                    choices=("default", "real4k"))
     ap.add_argument("--timeout", type=int, default=420)
     ap.add_argument("--out", default=os.path.join(REPO, "artifacts",
                                                   "compile_bisect.jsonl"))
     args = ap.parse_args(argv)
 
     if args.case:
-        w, tw, dt = args.case.split(":")
-        res = compile_case(int(w), int(tw), dt)
+        parts = args.case.split(":")
+        w, tw, dt = int(parts[0]), int(parts[1]), parts[2]
+        h = int(parts[3]) if len(parts) > 3 else 32
+        res = compile_case(w, tw, dt, h=h)
         print(json.dumps(res))
         return 0
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    for w, tw, dt in LADDER:
+    ladder = LADDER_REAL4K if args.ladder == "real4k" else LADDER
+    for case in ladder:
+        w, tw, dt = case[:3]
+        h = case[3] if len(case) > 3 else 32
         t0 = time.time()
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "--case", f"{w}:{tw}:{dt}"],
+                 "--case", f"{w}:{tw}:{dt}:{h}"],
                 capture_output=True, text=True, timeout=args.timeout, cwd=REPO)
             lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
             res = (json.loads(lines[-1]) if lines else
-                   {"w": w, "tile_w": tw, "dtype": dt, "error":
+                   {"w": w, "tile_w": tw, "dtype": dt, "h": h, "error":
                     f"rc={proc.returncode} {proc.stderr[-300:]}"})
         except subprocess.TimeoutExpired:
-            res = {"w": w, "tile_w": tw, "dtype": dt,
+            res = {"w": w, "tile_w": tw, "dtype": dt, "h": h,
                    "error": f"compile timeout > {args.timeout}s",
                    "seconds": round(time.time() - t0, 1)}
         print(json.dumps(res), flush=True)
