@@ -295,3 +295,53 @@ def test_trainer_interrupt_saves_resumable_checkpoint(tmp_path, rng):
     history = trainer2.run(log=lambda *_: None)
     trainer2.ckpt.close()
     assert len(history["val_loss"]) == 3 - trainer2.start_epoch
+
+def test_trainer_warm_start_init_model(tmp_path, rng):
+    """init_model_path warm-starts a FRESH run (epoch 0) from an exported
+    npz; mismatched shapes fail loudly."""
+    import dataclasses
+
+    from PIL import Image
+
+    from vfi_tpu.train.checkpoints import save_params_npz
+    from vfi_tpu.train.loop import Trainer
+    from vfi_tpu.utils.config import MeshConfig, TrainConfig
+
+    root = tmp_path / "data"
+    for split in ("train", "val"):
+        d = root / split / "scene"
+        d.mkdir(parents=True)
+        for i in range(3):
+            img = rng.integers(0, 255, (20, 24, 3)).astype(np.uint8)
+            Image.fromarray(img).save(d / f"f{i}.png")
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    donor = jax.jit(model.init)(jax.random.PRNGKey(7), x, x)
+    save_params_npz(donor, str(tmp_path / "donor.npz"))
+
+    cfg = TrainConfig(
+        batch_size=2, num_epochs=1,
+        train_data_dir=str(root / "train"), val_data_dir=str(root / "val"),
+        crop_size=(16, 16), random_rotation=False, horizontal_flip=False,
+        color_jitter=None, random_grayscale=0.0,
+        vgg_weight=0.0, temporal_weight=0.0,
+        mid_channels=8, num_blocks=1, bf16=False,
+        mesh=MeshConfig(data=1, spatial=1),
+        init_model_path=str(tmp_path / "donor.npz"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        best_model_path=str(tmp_path / "best"),
+        output_image_path=str(tmp_path / "imgs"))
+    trainer = Trainer(cfg)
+    trainer.ckpt.close()
+    assert trainer.start_epoch == 0  # fresh run, not a resume
+    got = jax.tree.leaves(trainer.state.params)
+    want = jax.tree.leaves(donor)
+    assert all(np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(got, want))
+
+    # wrong architecture -> loud failure naming the knob
+    bad = dataclasses.replace(cfg, mid_channels=16,
+                              checkpoint_path=str(tmp_path / "ckpt2"))
+    with pytest.raises(ValueError, match="init_model_path"):
+        Trainer(bad)

@@ -136,12 +136,19 @@ def main(argv=None) -> int:
                         help="Middlebury GT .flo directory (scene subdirs)")
     parser.add_argument("--flow_mid_channels", type=int, default=32)
     parser.add_argument("--flow_levels", type=int, default=3)
+    parser.add_argument("--flow_prior", action="store_true",
+                        help="pre-warp frame1 halfway along the SimpleFlowNet"
+                             " flow before the model (large-motion mode; "
+                             "checkpoint must be TRAINED with flow_prior). "
+                             "Loads <model_path minus .npz>.flow.npz unless "
+                             "--flow_model is given")
+    parser.add_argument("--flow_prior_scale", type=float, default=0.5)
     args = parser.parse_args(argv)
 
     from vfi_tpu.cli.common import load_model_params, setup
     setup()
 
-    if args.flow_model:
+    if args.flow_model and not args.flow_prior:
         return _flow_main(args)
     if not args.model_path:
         parser.error("--model_path is required (unless evaluating a flow "
@@ -158,10 +165,20 @@ def main(argv=None) -> int:
     import jax
 
     params = load_model_params(args.model_path)
+    flow_params = None
+    if args.flow_prior:
+        flow_path = args.flow_model or (
+            args.model_path[:-4] if args.model_path.endswith(".npz")
+            else args.model_path) + ".flow.npz"
+        flow_params = load_model_params(flow_path)
     interp = FrameInterpolator(params, bf16=not args.fp32,
                                dcn_max_offset=args.dcn_max_offset,
                                warp_max_flow=args.warp_max_flow,
-                               use_pallas=args.use_pallas)
+                               use_pallas=args.use_pallas,
+                               flow_params=flow_params,
+                               flow_prior_scale=args.flow_prior_scale,
+                               flow_mid_channels=args.flow_mid_channels,
+                               flow_levels=args.flow_levels)
     ds = TripletDataset(args.data_dir, args.frame_interval, augment=None,
                         normalize=False)
 

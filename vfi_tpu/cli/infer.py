@@ -61,11 +61,32 @@ def main(argv=None) -> int:
                             "this uses the manual halo-exchange shard_map, "
                             "see vfi_tpu/parallel/spatial.py). Remaining "
                             "devices form the data-parallel axis.")
+        p.add_argument("--flow_prior", action="store_true",
+                       help="pre-warp frame1 halfway along the SimpleFlowNet "
+                            "flow before the model (large-motion mode; the "
+                            "checkpoint must be trained with flow_prior). "
+                            "Loads <model_path minus .npz>.flow.npz unless "
+                            "--flow_model is given")
+        p.add_argument("--flow_model", default=None,
+                       help="SimpleFlowNet params npz for --flow_prior")
+        p.add_argument("--flow_prior_scale", type=float, default=0.5)
+        p.add_argument("--flow_mid_channels", type=int, default=32)
+        p.add_argument("--flow_levels", type=int, default=3)
     args = parser.parse_args(argv)
 
     from vfi_tpu.cli.common import load_model_params, setup
     setup()
     params = load_model_params(args.model_path)
+    flow_params = None
+    if args.flow_prior:
+        flow_path = args.flow_model or (
+            args.model_path[:-4] if args.model_path.endswith(".npz")
+            else args.model_path) + ".flow.npz"
+        flow_params = load_model_params(flow_path)
+    flow_kw = dict(flow_params=flow_params,
+                   flow_prior_scale=args.flow_prior_scale,
+                   flow_mid_channels=args.flow_mid_channels,
+                   flow_levels=args.flow_levels)
 
     from vfi_tpu.infer.pair import FrameInterpolator
 
@@ -89,7 +110,8 @@ def main(argv=None) -> int:
                                    dcn_max_offset=args.dcn_max_offset,
                                    warp_max_flow=args.warp_max_flow,
                                    use_pallas=args.use_pallas,
-                                   mesh=mesh, spatial=args.spatial > 1)
+                                   mesh=mesh, spatial=args.spatial > 1,
+                                   **flow_kw)
         mid = np.asarray(interp.midpoints(load(args.frame0), load(args.frame1)))[0]
         Image.fromarray((np.clip(mid, 0, 1) * 255).astype(np.uint8)).save(args.output)
         print(f"wrote {args.output}")
@@ -100,7 +122,8 @@ def main(argv=None) -> int:
                                dcn_max_offset=args.dcn_max_offset,
                                warp_max_flow=args.warp_max_flow,
                                use_pallas=args.use_pallas,
-                               mesh=mesh, spatial=args.spatial > 1)
+                               mesh=mesh, spatial=args.spatial > 1,
+                               **flow_kw)
     from vfi_tpu.infer.video import interpolate_video
 
     stats = interpolate_video(

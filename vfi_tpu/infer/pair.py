@@ -67,12 +67,27 @@ class FrameInterpolator:
                  dcn_max_offset: Optional[int] = None,
                  warp_max_flow: Optional[int] = None,
                  use_pallas: bool = False,
-                 spatial: bool = False):
+                 spatial: bool = False,
+                 flow_params=None,
+                 flow_prior_scale: float = 0.5,
+                 flow_mid_channels: int = 32,
+                 flow_levels: int = 3):
         """`spatial=True` additionally shards frame height over the mesh's
         'spatial' axis (single-clip 1080p/4K mode; XLA inserts the conv/
-        shift halo exchanges — see tests/test_parallel.py)."""
+        shift halo exchanges — see tests/test_parallel.py).
+
+        `flow_params` (a SimpleFlowNet tree, e.g. loaded from the trainer's
+        `<best>.flow.npz`) enables flow-prior inference: frame1 is
+        pre-warped halfway along the estimated flow before the main model
+        (models/prior.py, the large-motion lever). Only valid on checkpoints
+        TRAINED with flow_prior — the pre-warp changes the input
+        distribution. Not supported together with `spatial` sharding (the
+        pyramid flow net is global)."""
         from vfi_tpu.utils.convert import infer_model_dims
 
+        if flow_params is not None and spatial:
+            raise ValueError("flow-prior inference is not supported with "
+                             "spatial sharding (global pyramid flow)")
         dims = infer_model_dims(params)
         self.model = EMAVFI(
             in_channels=in_channels if in_channels is not None else dims["in_channels"],
@@ -90,13 +105,32 @@ class FrameInterpolator:
             bsh = spatial_sharding(self.mesh)
         else:
             bsh = batch_sharding(self.mesh)
-        self.params = jax.device_put(jax.tree.map(jnp.asarray, params), rep)
+        self.flow_module = None
+        tree = jax.tree.map(jnp.asarray, params)
+        if flow_params is not None:
+            from vfi_tpu.models.flownet import SimpleFlowNet
+
+            self.flow_module = SimpleFlowNet(
+                mid_channels=flow_mid_channels, levels=flow_levels,
+                dtype=jnp.bfloat16 if bf16 else None)
+            # joint tree so the flow params ride the jit argument (not a
+            # baked-in graph constant)
+            tree = {"model": tree,
+                    "flow": jax.tree.map(jnp.asarray, flow_params)}
+        self.params = jax.device_put(tree, rep)
 
         def fwd(p, f0, f1):
             mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 1, 1, 3)
             std = jnp.asarray(IMAGENET_STD).reshape(1, 1, 1, 3)
             n0 = (f0 - mean) / std
             n1 = (f1 - mean) / std
+            if self.flow_module is not None:
+                from vfi_tpu.models.prior import prior_prewarp
+
+                n1, _ = prior_prewarp(
+                    partial(self.flow_module.apply, p["flow"]),
+                    n0, n1, scale=flow_prior_scale)
+                p = p["model"]
             return self.model.apply(p, n0, n1)
 
         n_data = self.mesh.shape["data"]

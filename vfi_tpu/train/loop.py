@@ -57,7 +57,9 @@ def _unit_range(ft):
 def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
                     weights: LossWeights, soft_histogram: bool = False,
                     remat: bool = False, flow_module=None,
-                    target_unit_range: bool = False):
+                    target_unit_range: bool = False,
+                    flow_prior: bool = False,
+                    flow_prior_scale: float = 0.5):
     """Build the jit-able train step: (state, vgg_params, f0, ft, f1) ->
     (state, metrics). vgg_params passed explicitly so its sharding is
     controlled by the caller (not baked in as jit constants). `remat`
@@ -67,7 +69,13 @@ def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
     `flow_module` (a SimpleFlowNet) activates the temporal-consistency term
     with JOINT training of the flow estimator — the state's params tree is
     then {"model": ..., "flow": ...}. The reference never could run this
-    term (its estimator module is missing, reference train.py:72-80)."""
+    term (its estimator module is missing, reference train.py:72-80).
+
+    `flow_prior` (requires flow_module) pre-warps frame1 halfway along the
+    estimator's flow before the main model (models/prior.py — the
+    large-motion lever); gradients flow through the prior warp into the
+    estimator, so it trains end-to-end on the reconstruction loss on top of
+    its photometric term."""
 
     def vgg_loss_fn(vgg_params, a, b):
         from vfi_tpu.ops.resize import resize_bilinear
@@ -84,13 +92,20 @@ def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
 
     def loss_fn(params, vgg_params, f0, ft, f1):
         model_params = params["model"] if flow_module is not None else params
-        pred = apply_fn(model_params, f0, f1)
-        if target_unit_range:
-            ft = _unit_range(ft)
-        vfn = partial(vgg_loss_fn, vgg_params) if vgg_module is not None else None
         flow_fn = None
         if flow_module is not None:
             flow_fn = partial(flow_module.apply, params["flow"])
+        if flow_prior:
+            from vfi_tpu.models.prior import prior_prewarp
+
+            f1_in, _ = prior_prewarp(flow_fn, f0, f1,
+                                     scale=flow_prior_scale)
+        else:
+            f1_in = f1
+        pred = apply_fn(model_params, f0, f1_in)
+        if target_unit_range:
+            ft = _unit_range(ft)
+        vfn = partial(vgg_loss_fn, vgg_params) if vgg_module is not None else None
         tot, terms = total_loss(pred, ft, vfn, weights,
                                 soft_histogram=soft_histogram,
                                 flow_estimator=flow_fn, frame0=f0, frame1=f1)
@@ -121,11 +136,21 @@ def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
 
 def make_eval_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
                    weights: LossWeights, soft_histogram: bool = False,
-                   target_unit_range: bool = False):
+                   target_unit_range: bool = False,
+                   flow_module=None, flow_prior: bool = False,
+                   flow_prior_scale: float = 0.5):
     """Val step: loss + prediction + PSNR/SSIM (vs the target un-normalized
-    back to [0,1] space for the quality metrics)."""
+    back to [0,1] space for the quality metrics). With `flow_prior`,
+    `params` is the joint {"model", "flow"} tree and validation runs the
+    same prior pre-warp as training; otherwise `params` is the model tree."""
 
     def eval_step(params, vgg_params, f0, ft, f1):
+        if flow_prior:
+            from vfi_tpu.models.prior import prior_prewarp
+
+            f1, _ = prior_prewarp(partial(flow_module.apply, params["flow"]),
+                                  f0, f1, scale=flow_prior_scale)
+            params = params["model"]
         pred = model.apply(params, f0, f1)
         gt01 = _unit_range(ft)
         # loss in the training convention (reference default: pred [0,1]
@@ -189,6 +214,45 @@ class Trainer:
             flow_params = jax.jit(self.flow_module.init)(
                 jax.random.PRNGKey(cfg.seed + 2), small, small)
             params = {"model": params, "flow": flow_params}
+        if cfg.flow_prior and self.flow_module is None:
+            raise ValueError(
+                "flow_prior=true requires train_flow_estimator=true and "
+                "temporal_weight > 0 — the prior network IS the jointly-"
+                "trained flow estimator (models/prior.py)")
+
+        # Warm-start (fine-tuning) from exported npz checkpoints: fresh
+        # optimizer/epoch, pretrained weights. E.g. adapting a trained
+        # checkpoint to flow_prior mode without retraining from scratch.
+        def _load_init(path: str, like, what: str):
+            loaded = jax.tree.map(jnp.asarray, load_params_npz(path))
+
+            def chk(a, b):
+                if a.shape != b.shape:
+                    raise ValueError(
+                        f"init_{what}_path {path!r}: shape {b.shape} does "
+                        f"not match configured {what} param {a.shape} — "
+                        "check mid_channels/num_blocks/flow_* settings")
+                return b.astype(a.dtype)
+
+            try:
+                return jax.tree.map(chk, like, loaded)
+            except ValueError as e:
+                raise ValueError(
+                    f"init_{what}_path {path!r} does not match the "
+                    f"configured {what} params: {e}") from None
+
+        if cfg.init_model_path:
+            if self.flow_module is not None:
+                params["model"] = _load_init(cfg.init_model_path,
+                                             params["model"], "model")
+            else:
+                params = _load_init(cfg.init_model_path, params, "model")
+        if cfg.init_flow_path:
+            if self.flow_module is None:
+                raise ValueError("init_flow_path requires "
+                                 "train_flow_estimator=true")
+            params["flow"] = _load_init(cfg.init_flow_path, params["flow"],
+                                        "flow")
         if self.vgg_module is None:
             self.vgg_params = None
         elif cfg.vgg_weights_path:
@@ -252,7 +316,9 @@ class Trainer:
                                     self.vgg_layer_index, self.weights,
                                     cfg.soft_histogram, remat=cfg.remat,
                                     flow_module=self.flow_module,
-                                    target_unit_range=cfg.target_unit_range)
+                                    target_unit_range=cfg.target_unit_range,
+                                    flow_prior=cfg.flow_prior,
+                                    flow_prior_scale=cfg.flow_prior_scale)
         self.train_step = jax.jit(
             raw_train,
             in_shardings=(rep, rep, bsh, bsh, bsh),
@@ -261,15 +327,34 @@ class Trainer:
         raw_eval = make_eval_step(self.model, self.vgg_module,
                                   self.vgg_layer_index, self.weights,
                                   cfg.soft_histogram,
-                                  target_unit_range=cfg.target_unit_range)
+                                  target_unit_range=cfg.target_unit_range,
+                                  flow_module=self.flow_module,
+                                  flow_prior=cfg.flow_prior,
+                                  flow_prior_scale=cfg.flow_prior_scale)
         self.eval_step = jax.jit(raw_eval,
                                  in_shardings=(rep, rep, bsh, bsh, bsh),
                                  out_shardings=rep)
 
-        self._sample_fwd = jax.jit(self.model.apply)  # epoch sample dumps
+        # epoch sample dumps (with the prior pre-warp when it's on, so the
+        # samples show what the trained pipeline actually produces)
+        if cfg.flow_prior:
+            from vfi_tpu.models.prior import prior_prewarp
+
+            def _sample(params, f0, f1):
+                f1p, _ = prior_prewarp(
+                    partial(self.flow_module.apply, params["flow"]), f0, f1,
+                    scale=cfg.flow_prior_scale)
+                return self.model.apply(params["model"], f0, f1p)
+
+            self._sample_fwd = jax.jit(_sample)
+        else:
+            self._sample_fwd = jax.jit(self.model.apply)
         # params-tree accessor: joint flow training nests the model params
         self._model_params = ((lambda p: p["model"]) if self.flow_module
                               else (lambda p: p))
+        # eval/sample input tree: flow-prior consumes the joint tree
+        self._fwd_params = ((lambda p: p) if cfg.flow_prior
+                            else self._model_params)
         self.ckpt = CheckpointManager(cfg.checkpoint_path, keep=cfg.keep_checkpoints)
         self.start_epoch = 0
         self.best_val = float("inf")
@@ -366,7 +451,7 @@ class Trainer:
                 running += float(metrics["loss"])
                 nb += 1
                 if i == 0:
-                    pred = self._sample_fwd(self._model_params(self.state.params),
+                    pred = self._sample_fwd(self._fwd_params(self.state.params),
                                             batch[0][:1], batch[2][:1])
                     self._dump_sample(np.asarray(pred), epoch)
                 if i % cfg.log_every == 0:
@@ -381,7 +466,7 @@ class Trainer:
             self.val_loader.epoch = 0
             val_running, vp, vs, vn = 0.0, 0.0, 0.0, 0
             for batch, true_n in self._device_batches(self.val_loader):
-                m = self.eval_step(self._model_params(self.state.params),
+                m = self.eval_step(self._fwd_params(self.state.params),
                                    self.vgg_params, *batch)
                 w = true_n
                 val_running += float(m["loss"]) * w; vp += float(m["psnr"]) * w

@@ -101,6 +101,14 @@ class TrainConfig:
     target_unit_range: bool = False
     flow_mid_channels: int = 32
     flow_levels: int = 3
+    # Large-motion lever (models/prior.py): pre-warp frame1 halfway along
+    # the jointly-trained SimpleFlowNet flow before the main model, so the
+    # stride-1 trunk only resolves the small residual. Requires
+    # train_flow_estimator (the prior net IS the flow estimator). EMAVFI
+    # param shapes are unchanged, so round-1 checkpoints fine-tune into
+    # this mode.
+    flow_prior: bool = False
+    flow_prior_scale: float = 0.5
     # Dead keys in the reference (train_config.yaml:24-25) — accepted and
     # ignored for YAML compatibility.
     gradient_order: int = 1
@@ -112,6 +120,13 @@ class TrainConfig:
     output_image_path: str = "output_images"
     resume: bool = True            # addition: the reference cannot resume
     keep_checkpoints: int = 3
+    # Warm-start: initialize model / flow-estimator params from npz
+    # checkpoints (the trainer's own best/snapshot exports) before training.
+    # Unlike `resume` this starts a FRESH run (epoch 0, fresh optimizer) —
+    # the fine-tuning path, e.g. adapting a trained checkpoint to
+    # flow_prior mode. Ignored when an orbax checkpoint is resumed.
+    init_model_path: Optional[str] = None
+    init_flow_path: Optional[str] = None
     # > 0: additionally save a model-only npz snapshot every N epochs under
     # <checkpoint_path>/snapshots/ (cheap at 1.43M params; enables
     # budget-matched cross-framework quality comparisons at any epoch).
