@@ -197,3 +197,25 @@ def test_dcn_pallas_v4_column_tiled_matches_exact(rng):
                                     tile_w=128)
     np.testing.assert_allclose(np.asarray(tiled), np.asarray(exact),
                                rtol=1e-4, atol=1e-4)
+
+def test_auto_tiling_plan_4k():
+    """tile_w=None auto plan: untiled where it fits, smallest bounded-compile
+    column tile at 4K (where the untiled slab cannot fit VMEM), infeasible
+    only when nothing fits. Pure host math — mirrors the hardware-measured
+    configuration (docs/PERFORMANCE.md round-2 4K section)."""
+    from vfi_tpu.ops.pallas.sampling import (_pad128, _pick_th_tw_v4,
+                                             pallas_sampling_feasible)
+
+    cpad, coutp = _pad128(67), _pad128(67)
+    # 720p / 1080p: full-width slab fits -> untiled
+    for h, w in ((720, 1280), (1080, 1920)):
+        th, tw = _pick_th_tw_v4(h, w, cpad, coutp, 3, 3, itemsize=2)
+        assert tw == w
+    # 4K: untiled cannot fit; the auto plan picks the smallest safe tile
+    th, tw = _pick_th_tw_v4(2160, 3840, cpad, coutp, 3, 3, itemsize=2)
+    assert tw == 128 and 2160 % th == 0 and th % 8 == 0
+    # feasibility gate now admits 4K (the shifts fallback is no longer the
+    # only 4K path)
+    assert pallas_sampling_feasible(2160, 3840, 67, 67, 2, itemsize=2)
+    # widths with no 128-multiple divisor and an oversized slab stay False
+    assert not pallas_sampling_feasible(2160, 3843, 67, 67, 2, itemsize=2)

@@ -36,11 +36,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 VARIANTS = ("cur", "precast", "bcast", "flat", "mat3d", "nomul")
-# K high enough that per-call overheads (input DMA, launch, scan-carry
-# copies — measured ~600 us/call on 2026-08-17 hardware, which swamped the
-# original K=20 run and made every variant read ~34 us/term) amortize to
-# <10% of a 3 us term.
-TH, W, C, K = 8, 1280, 128, 100
+# The terms MUST run inside a fori_loop like the production kernel: Mosaic
+# does not reuse VMEM stack slots across statically-unrolled regions, so an
+# unrolled K-term chain carries K (TH, W, C) temporaries (52 MB at K=20) —
+# the original unrolled micro measured that stack-pressure serialization
+# (~34 us/term, 10x production) instead of the blend. A fori body is one
+# reused codegen frame, exactly the production structure
+# (_sampling_kernel_v4's per-tap fori).
+TH, W, C, K = 8, 1280, 128, 64
 
 
 def build(variant: str):
@@ -50,11 +53,13 @@ def build(variant: str):
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(w_ref, x_ref, w3_ref, o_ref, samp):
-        # K terms: samp (+)= weight_k ⊙ rows_k, then one dummy read; rows_k
-        # are row-offset slices like the production kernel's shifted reads.
-        for k in range(K):
-            wk = w_ref[k % 16]  # (TH, W) f32
-            rows = x_ref[pl.ds(k % 8, TH), :, :]
+        # K terms: samp += weight_k ⊙ rows_k; rows_k are dynamic row-offset
+        # slices like the production kernel's shifted reads.
+        samp[...] = jnp.zeros((TH, W, C), samp.dtype)
+
+        def body(k, _):
+            wk = w_ref[jax.lax.rem(k, 16)]  # (TH, W) f32
+            rows = x_ref[pl.ds(jax.lax.rem(k, 8), TH), :, :]
             if variant == "cur":
                 term = (wk * 0.5)[:, :, None].astype(samp.dtype) * rows
             elif variant == "precast":
@@ -68,15 +73,15 @@ def build(variant: str):
                         * (wk * 0.5).astype(samp.dtype).reshape(TH * W, 1)
                         ).reshape(TH, W, C)
             elif variant == "mat3d":
-                term = w3_ref[k % 8] * rows
+                term = w3_ref[jax.lax.rem(k, 8)] * rows
             elif variant == "nomul":
                 term = rows
             else:
                 raise ValueError(variant)
-            if k == 0:
-                samp[...] = term
-            else:
-                samp[...] += term
+            samp[...] += term
+            return 0
+
+        jax.lax.fori_loop(0, K, body, 0)
         o_ref[...] = samp[...]
 
     @jax.jit

@@ -31,7 +31,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CASES = ("dcn_v4", "dcn_v4_tiled", "warp_v2")
+CASES = ("dcn_v4_f32", "dcn_v4", "dcn_v4_tiled", "warp_v2")
 PER_CASE_TIMEOUT_S = 420  # first compile 20-40s; relay may queue behind other work
 
 
@@ -59,14 +59,40 @@ def run_case(case: str) -> dict:
     from vfi_tpu.ops.warp import warp
 
     t0 = time.time()
-    if case == "dcn_v4":
-        # production untiled kernel, bf16 (the flagship's serving dtype)
+    if case == "dcn_v4_f32":
+        # LOGIC check: untiled kernel in f32. NOT round-off-free on TPU:
+        # both paths' dots run on the MXU at DEFAULT precision, which
+        # truncates f32 operands to bf16 passes — the two paths structure
+        # those passes differently, so the floor is bf16-ulp-scale relative
+        # error even with f32 storage (measured 0.0068 at |out|~4 on
+        # 2026-08-17 hardware, ~= scale * 2^-9). tol = 4 bf16 ulp of the
+        # reference's max magnitude; a wrongly-skipped (tap, shift) pair or
+        # wrong predicate is an O(0.3) error, ~5x above tol, and blend
+        # weight-math bugs land in between — this case still pins logic
+        # where the bf16 case's looser reorder-noise tol cannot.
+        x, off, msk, wgt, bias = _dcn_inputs(32, 256, 67, 67, 2, "f32")
+        args = [jnp.asarray(a) for a in (x, off, msk, wgt, bias)]
+        got = np.asarray(deform_conv2d_pallas_v4(*args, max_offset=2),
+                         np.float32)
+        ref = np.asarray(deform_conv2d_shifts(*args, max_offset=2), np.float32)
+        tol = 4 * float(np.max(np.abs(ref))) * 2.0 ** -8
+    elif case == "dcn_v4":
+        # PRECISION check: production serving dtype (bf16). The kernel
+        # accumulates 9 tap matmuls into a bf16 out block and blends in
+        # bf16 (by design, matching the XLA shifts op's compute dtype),
+        # but the two paths ORDER the ~18 roundings differently, so the
+        # max elementwise gap is a few bf16 ulp at the output scale —
+        # measured 0.078 ~ 2.5 ulp at |out|~4 on 2026-08-17 hardware.
+        # tol = 8 ulp of the reference's max magnitude: loose enough for
+        # reorder noise, far below any real logic break (~0.3, see the f32
+        # case which pins logic at a tighter 4-ulp tol).
         x, off, msk, wgt, bias = _dcn_inputs(32, 256, 67, 67, 2, "bf16")
         args = [jnp.asarray(a, jnp.bfloat16) for a in (x, off, msk, wgt, bias)]
         got = np.asarray(deform_conv2d_pallas_v4(*args, max_offset=2),
                          np.float32)
         ref = np.asarray(deform_conv2d_shifts(*args, max_offset=2), np.float32)
-        tol = 5e-2  # bf16 blend + MXU bf16 passes
+        scale = float(np.max(np.abs(ref)))
+        tol = 8 * scale * 2.0 ** -8  # 8 bf16 ulp at output scale
     elif case == "dcn_v4_tiled":
         # column-tiled variant at its hardware-validated small shape, f32:
         # must match the untiled kernel bit-for-bit

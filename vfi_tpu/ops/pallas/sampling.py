@@ -29,11 +29,13 @@ f32, then cast), manual HBM DMA slices need 128-aligned minor dims (hence
 channel padding), VMEM sublane extents must be multiples of 8, bf16 cannot
 represent pixel coordinates > 256 (all coordinate math in f32), and VMEM
 stack slots are NOT reused across statically-unrolled `pl.when` regions
-(big temporaries belong inside fori_loop bodies). Tiling is row-slab only
-— a 2-D-tiled variant (two dynamic-start DMA dims) hangs the Mosaic
-compiler on this toolchain, so problems whose full-width slab cannot fit
-VMEM report infeasible and callers fall back to the XLA shifts op (see
-`pallas_sampling_feasible`).
+(big temporaries belong inside fori_loop bodies). Tiling is row-slab
+first; widths whose full-width slab cannot fit VMEM (4K) are column-tiled
+with HOST-pre-gathered tile windows — an in-kernel column slice (two
+dynamic-start DMA dims) hangs the Mosaic compiler on this toolchain.
+Tile widths are capped at 384 (compile time explodes toward full width;
+see `_pick_th_tw_v4`). Truly infeasible problems report so via
+`pallas_sampling_feasible` and callers fall back to the XLA shifts op.
 
 Semantics match `deform_conv2d` / `warp` (zeros padding, align_corners
 backward warp) whenever |d| <= R; beyond that the displacement saturates.
@@ -89,21 +91,17 @@ def _pick_th(h: int, w: int, cpad: int, cout: int, m: int,
 
 def pallas_sampling_feasible(h: int, w: int, c: int, cout: int, R: int,
                              itemsize: int = 2) -> bool:
-    """Static check: can the fused kernel fit an UNTILED full-width row
-    slab into VMEM? Callers fall back to the XLA shifts op when False.
-    Gates on `_pick_th_v4` (untiled) so a True here means the production
-    kernel configuration actually lowers; the column-tiled variant
-    (`tile_w`) remains an explicit opt-in and is never auto-gated."""
+    """Static check: does the v4 kernel have a VMEM-feasible configuration
+    — an untiled full-width row slab, or (large widths, e.g. 4K W=3840) a
+    column-tiled plan from the bounded-compile candidate set (tw <= 384,
+    see `_pick_th_tw_v4`)? Callers fall back to the XLA shifts op when
+    False. Gates on the same picker `deform_conv2d_pallas_v4` uses for its
+    tile_w=None default, so a True here means the production configuration
+    actually lowers (round-1's untiled-only gate retired 2026-08-17 after
+    the real-4K compile bisect + runtime win, docs/PERFORMANCE.md)."""
     try:
-        # Untiled only. The pre-gathered column-tiled variant (tile_w) IS
-        # hardware-validated at small shapes (lowers on real Mosaic,
-        # matches the untiled kernel's numerics exactly, 2026-08-17), but
-        # at 4K size (TW=1920, bf16) its compile did not finish within
-        # 25 minutes on this toolchain — auto-enabling would trade a
-        # working XLA-shifts 4K path for an unbounded compile. Opt in
-        # explicitly via deform_conv2d_pallas_v4(..., tile_w=...).
-        _pick_th_v4(h, w, _pad128(c), _pad128(cout), R + 1, 3,
-                    itemsize=itemsize)
+        _pick_th_tw_v4(h, w, _pad128(c), _pad128(cout), R + 1, 3,
+                       itemsize=itemsize)
         return True
     except ValueError:
         return False
@@ -310,10 +308,16 @@ def _pick_th_tw_v4(h: int, w: int, cpad: int, coutp: int, m: int, kh: int,
     cannot fit VMEM (e.g. 4K, W=3840), the width is tiled into equal
     columns — candidates must divide W and be lane-tile multiples (the
     planes/out BlockSpecs put TW in the minor dim). Per-tile VMEM math is
-    exactly `_pick_th_v4` at width TW."""
-    cands = [w] + [t for t in (1920, 1536, 1280, 1024, 768, 640, 512,
-                               384, 256, 128)
-                   if t < w and w % t == 0]
+    exactly `_pick_th_v4` at width TW.
+
+    Tile candidates are capped at 384: compile time grows with TW (real-4K
+    h=2160 bisect, artifacts/compile_bisect.jsonl 2026-08-17: tw128 24 s,
+    tw256 26 s, tw384 40 s — vs the round-1 >25 min hang at tw1920), and
+    tw128 already matches the untiled kernel's per-pixel throughput on
+    hardware (4K trained regime 312 ms/layer ~= 9x the untiled 720p 33 ms;
+    2.9x zero-regime / 1.55x trained over XLA shifts), so wider tiles buy
+    nothing measurable. Smallest-first: fastest compile, measured runtime."""
+    cands = [w] + [t for t in (128, 256, 384) if t < w and w % t == 0]
     for tw in cands:
         try:
             th = _pick_th_v4(h, tw, cpad, coutp, m, kh, itemsize=itemsize,
@@ -583,11 +587,12 @@ def deform_conv2d_pallas_v4(
         TH = _pick_th_v4(h, TW, cpad, coutp, M, kh, itemsize=isz,
                          stage_columns=stage_columns, samp_bufs=samp_bufs)
     else:
-        # Default = untiled (see pallas_sampling_feasible: 4K-size tiled
-        # compiles exceed 25 min on this toolchain); tile_w opts in.
-        TH = _pick_th_v4(h, w, cpad, coutp, M, kh, itemsize=isz,
-                         stage_columns=stage_columns, samp_bufs=samp_bufs)
-        TW = w
+        # Auto plan: untiled when its slab fits VMEM, else the smallest
+        # bounded-compile column tile (see _pick_th_tw_v4 — this is what
+        # makes 4K run the Pallas path instead of falling back to shifts).
+        TH, TW = _pick_th_tw_v4(h, w, cpad, coutp, M, kh, itemsize=isz,
+                                stage_columns=stage_columns,
+                                samp_bufs=samp_bufs)
     ncols = w // TW
 
     # Slab: halo M on H; per column tile the window is 8 (left, aligns
