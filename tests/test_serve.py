@@ -1,0 +1,231 @@
+"""Serving subsystem tests: micro-batcher semantics + HTTP round trips.
+
+The reference has no serving path; these tests pin the north-star addition
+(vfi_tpu/serve/): shape-bucketed coalescing, pad-to-max static shapes,
+error propagation, and the wire protocol.
+"""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vfi_tpu.serve import (InterpolationServer, MicroBatcher,
+                           encode_pair_body, split_pair_body)
+
+
+class RecordingEngine:
+    """midpoints = average of the pair; records every launched batch shape."""
+
+    def __init__(self, fail=False):
+        self.batch_shapes = []
+        self.fail = fail
+        self.lock = threading.Lock()
+
+    def midpoints(self, f0, f1):
+        with self.lock:
+            self.batch_shapes.append(f0.shape)
+        if self.fail:
+            raise RuntimeError("engine down")
+        return (f0 + f1) / 2.0
+
+
+def _frames(rng, n, h=8, w=8):
+    return [rng.uniform(0, 1, (h, w, 3)).astype(np.float32) for _ in range(n)]
+
+
+def test_batcher_coalesces_and_pads(rng):
+    eng = RecordingEngine()
+    mb = MicroBatcher(eng, max_batch=4, max_delay_ms=250.0)
+    try:
+        f = _frames(rng, 6)
+        futs = [mb.submit(f[i], f[i + 3]) for i in range(3)]
+        outs = [fu.result(timeout=10) for fu in futs]
+        for i in range(3):
+            np.testing.assert_allclose(outs[i], (f[i] + f[i + 3]) / 2, rtol=1e-6)
+    finally:
+        mb.close()
+    # 3 requests within the deadline -> ONE launch, padded to max_batch=4
+    assert eng.batch_shapes == [(4, 8, 8, 3)]
+    s = mb.stats.snapshot()
+    assert s["requests"] == 3 and s["batches"] == 1 and s["padded_items"] == 1
+
+
+def test_batcher_shape_buckets(rng):
+    """Different (H, W) never share a device batch."""
+    eng = RecordingEngine()
+    mb = MicroBatcher(eng, max_batch=4, max_delay_ms=50.0)
+    try:
+        a = _frames(rng, 2, h=8, w=8)
+        b = _frames(rng, 2, h=16, w=8)
+        fa = mb.submit(a[0], a[1])
+        fb = mb.submit(b[0], b[1])
+        assert fa.result(timeout=10).shape == (8, 8, 3)
+        assert fb.result(timeout=10).shape == (16, 8, 3)
+    finally:
+        mb.close()
+    assert sorted(s[1] for s in eng.batch_shapes) == [8, 16]
+    assert all(s[0] == 4 for s in eng.batch_shapes)  # both padded
+
+
+def test_batcher_full_batch_launches_immediately(rng):
+    """max_batch waiting requests launch without waiting out the deadline."""
+    eng = RecordingEngine()
+    mb = MicroBatcher(eng, max_batch=2, max_delay_ms=60_000.0)
+    try:
+        f = _frames(rng, 4)
+        futs = [mb.submit(f[0], f[1]), mb.submit(f[2], f[3])]
+        for fu in futs:
+            fu.result(timeout=10)  # would hang for 60 s if deadline-gated
+    finally:
+        mb.close()
+    assert eng.batch_shapes == [(2, 8, 8, 3)]
+
+
+def test_batcher_propagates_engine_errors(rng):
+    eng = RecordingEngine(fail=True)
+    mb = MicroBatcher(eng, max_batch=2, max_delay_ms=1.0)
+    try:
+        f = _frames(rng, 2)
+        fut = mb.submit(f[0], f[1])
+        with pytest.raises(RuntimeError, match="engine down"):
+            fut.result(timeout=10)
+    finally:
+        mb.close()
+    assert mb.stats.snapshot()["errors"] == 1
+
+
+def test_batcher_rejects_bad_shapes(rng):
+    mb = MicroBatcher(RecordingEngine(), max_batch=2)
+    try:
+        with pytest.raises(ValueError):
+            mb.submit(np.zeros((8, 8, 3), np.float32), np.zeros((8, 4, 3), np.float32))
+        with pytest.raises(ValueError):
+            mb.submit(np.zeros((8, 8), np.float32), np.zeros((8, 8), np.float32))
+    finally:
+        mb.close()
+    with pytest.raises(RuntimeError):  # closed
+        mb.submit(np.zeros((8, 8, 3), np.float32), np.zeros((8, 8, 3), np.float32))
+
+
+def test_pair_body_roundtrip():
+    body = encode_pair_body(b"abc", b"defg")
+    assert split_pair_body(body) == (b"abc", b"defg")
+    with pytest.raises(ValueError):
+        split_pair_body(b"\x00\x00")  # shorter than the prefix
+    with pytest.raises(ValueError):
+        split_pair_body(encode_pair_body(b"abc", b""))  # empty second frame
+
+
+@pytest.fixture(scope="module")
+def served_model():
+    """Tiny real EMAVFI behind the HTTP server on an ephemeral port."""
+    from vfi_tpu.infer.pair import FrameInterpolator
+    from vfi_tpu.models import EMAVFI
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    engine = FrameInterpolator(params, mid_channels=8, num_blocks=1, bf16=False)
+    server = InterpolationServer(engine, port=0, max_batch=4,
+                                 max_delay_ms=20.0).start()
+    yield server, engine
+    server.shutdown()
+
+
+def _png(arr_u8):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr_u8).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _post(url, body, ctype="application/octet-stream"):
+    req = urllib.request.Request(url, data=body,
+                                 headers={"Content-Type": ctype})
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_http_interpolate_matches_engine(served_model, rng):
+    """Wire round trip == direct engine call (PNG is lossless; the only
+    quantization is the shared float->u8 of the response encoder)."""
+    server, engine = served_model
+    a = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    b = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    status, png = _post(f"http://127.0.0.1:{server.port}/v1/interpolate",
+                        encode_pair_body(_png(a), _png(b)))
+    assert status == 200
+
+    from PIL import Image
+
+    got = np.asarray(Image.open(io.BytesIO(png)))
+    direct = np.asarray(engine.midpoints(
+        a[None].astype(np.float32) / 255.0,
+        b[None].astype(np.float32) / 255.0))[0]
+    want = np.clip(direct * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_http_concurrent_requests_batch(served_model, rng):
+    """Concurrent same-shape requests coalesce; every reply is correct."""
+    server, engine = served_model
+    url = f"http://127.0.0.1:{server.port}/v1/interpolate"
+    pairs = [(rng.integers(0, 255, (16, 16, 3)).astype(np.uint8),
+              rng.integers(0, 255, (16, 16, 3)).astype(np.uint8))
+             for _ in range(6)]
+    results = [None] * len(pairs)
+
+    def worker(i):
+        a, b = pairs[i]
+        results[i] = _post(url, encode_pair_body(_png(a), _png(b)))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(pairs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    from PIL import Image
+
+    for (a, b), (status, png) in zip(pairs, results):
+        assert status == 200
+        got = np.asarray(Image.open(io.BytesIO(png)))
+        direct = np.asarray(engine.midpoints(
+            a[None].astype(np.float32) / 255.0,
+            b[None].astype(np.float32) / 255.0))[0]
+        want = np.clip(direct * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(got, want)
+    stats = json.loads(urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/stats", timeout=10).read())
+    assert stats["requests"] >= 6
+
+
+def test_http_health_and_errors(served_model):
+    server, _ = served_model
+    base = f"http://127.0.0.1:{server.port}"
+    health = json.loads(urllib.request.urlopen(base + "/healthz",
+                                               timeout=10).read())
+    assert health["status"] == "ok" and health["devices"] >= 1
+
+    status, body = _post(base + "/v1/interpolate", b"junkbody")
+    assert status == 400 and b"error" in body
+    status, _ = _post(base + "/nope", b"x")
+    assert status == 404
+    # mismatched frame shapes -> 400
+    a = np.zeros((16, 16, 3), np.uint8)
+    b = np.zeros((8, 8, 3), np.uint8)
+    status, body = _post(base + "/v1/interpolate",
+                         encode_pair_body(_png(a), _png(b)))
+    assert status == 400 and b"differ" in body

@@ -1,0 +1,88 @@
+"""`python serve.py` — online interpolation serving (HTTP).
+
+The reference has no serving mode (its inference.py:61 is an offline video
+script); this entry point stands up the micro-batched HTTP server
+(vfi_tpu/serve/) over the same FrameInterpolator configurations the batch
+CLIs use, including the data-parallel mesh and Pallas kernels.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="EMAVFI online interpolation server (TPU-native)")
+    parser.add_argument("--model_path", required=True)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--max_batch", type=int, default=8,
+                        help="device batch per launch; every launch is "
+                             "padded to this so each (H, W) bucket compiles "
+                             "exactly once")
+    parser.add_argument("--max_delay_ms", type=float, default=5.0,
+                        help="max time a request waits for batch-mates")
+    parser.add_argument("--no_pad_to_max", action="store_true",
+                        help="launch partial batches at their real size "
+                             "(one compile per observed batch size)")
+    parser.add_argument("--request_timeout", type=float, default=120.0)
+    parser.add_argument("--warmup", default=None,
+                        help="comma-separated HxW buckets to pre-compile, "
+                             "e.g. 720x1280,1080x1920")
+    parser.add_argument("--fp32", action="store_true")
+    parser.add_argument("--dcn_max_offset", type=int, default=None)
+    parser.add_argument("--warp_max_flow", type=int, default=None)
+    parser.add_argument("--use_pallas", action="store_true")
+    parser.add_argument("--flow_prior", action="store_true")
+    parser.add_argument("--flow_model", default=None)
+    parser.add_argument("--flow_prior_scale", type=float, default=0.5)
+    parser.add_argument("--flow_mid_channels", type=int, default=32)
+    parser.add_argument("--flow_levels", type=int, default=3)
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args(argv)
+
+    from vfi_tpu.cli.common import load_model_params, setup
+    setup()
+    params = load_model_params(args.model_path)
+    flow_params = None
+    if args.flow_prior:
+        flow_path = args.flow_model or (
+            args.model_path[:-4] if args.model_path.endswith(".npz")
+            else args.model_path) + ".flow.npz"
+        flow_params = load_model_params(flow_path)
+
+    from vfi_tpu.infer.pair import FrameInterpolator
+    from vfi_tpu.serve import InterpolationServer
+
+    engine = FrameInterpolator(params, bf16=not args.fp32,
+                               dcn_max_offset=args.dcn_max_offset,
+                               warp_max_flow=args.warp_max_flow,
+                               use_pallas=args.use_pallas,
+                               flow_params=flow_params,
+                               flow_prior_scale=args.flow_prior_scale,
+                               flow_mid_channels=args.flow_mid_channels,
+                               flow_levels=args.flow_levels)
+    server = InterpolationServer(engine, host=args.host, port=args.port,
+                                 max_batch=args.max_batch,
+                                 max_delay_ms=args.max_delay_ms,
+                                 pad_to_max=not args.no_pad_to_max,
+                                 request_timeout=args.request_timeout,
+                                 verbose=args.verbose)
+    if args.warmup:
+        for spec in args.warmup.split(","):
+            h, w = (int(v) for v in spec.lower().split("x"))
+            print(f"warmup: compiling {h}x{w} bucket (batch {args.max_batch})")
+            server.warmup([(h, w)])
+    print(f"serving on http://{args.host}:{server.port} "
+          f"(POST /v1/interpolate, GET /healthz, GET /stats)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down")
+        server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,197 @@
+"""Shape-bucketed micro-batching for online interpolation serving.
+
+The reference has no serving path at all — its `inference.py` is an
+offline, one-video batch script (reference inference.py:61-214, one
+host->GPU round trip per frame). This module is the online counterpart the
+north star's "production deployment and serving" requires, built around
+the two facts that dominate TPU serving:
+
+- XLA compiles one executable per input shape: requests are bucketed by
+  (H, W) and every launched batch is padded to a fixed `max_batch`, so
+  steady state runs exactly one compiled executable per bucket — no
+  recompiles, ever, after warmup.
+- Per-dispatch overhead (host<->device relay here is ~25 ms) amortizes
+  over the batch: concurrent requests for the same bucket coalesce into
+  one device launch. A single request still launches after `max_delay_ms`
+  — the latency price of batching is bounded and explicit.
+
+The batcher fronts any engine with a `midpoints(f0, f1) -> (B, H, W, 3)`
+method (vfi_tpu.infer.pair.FrameInterpolator — including its data-parallel
+mesh and Pallas-kernel configurations, which serving inherits unchanged).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+@dataclass
+class _Request:
+    f0: np.ndarray
+    f1: np.ndarray
+    future: Future
+    t_submit: float
+
+
+@dataclass
+class BatcherStats:
+    """Counters the worker updates under the batcher lock."""
+
+    requests: int = 0
+    batches: int = 0
+    padded_items: int = 0
+    errors: int = 0
+    per_bucket: Dict[str, int] = field(default_factory=dict)
+    batch_sizes: deque = field(default_factory=lambda: deque(maxlen=1024))
+    latencies_ms: deque = field(default_factory=lambda: deque(maxlen=1024))
+
+    def snapshot(self) -> dict:
+        sizes = list(self.batch_sizes)
+        lats = sorted(self.latencies_ms)
+
+        def pct(p):
+            return lats[min(len(lats) - 1, int(p * len(lats)))] if lats else None
+
+        return {
+            "requests": self.requests,
+            "batches": self.batches,
+            "padded_items": self.padded_items,
+            "errors": self.errors,
+            "per_bucket": dict(self.per_bucket),
+            "mean_batch_size": (sum(sizes) / len(sizes)) if sizes else None,
+            "latency_ms_p50": pct(0.50),
+            "latency_ms_p99": pct(0.99),
+        }
+
+
+class MicroBatcher:
+    """Coalesces concurrent midpoint requests into fixed-shape device batches.
+
+    Args:
+      engine: object with `midpoints(f0, f1)` over (B, H, W, 3) float32
+        [0, 1] arrays (FrameInterpolator).
+      max_batch: device batch size per launch; also the pad target.
+      max_delay_ms: longest a request may wait for batch-mates before its
+        bucket launches anyway.
+      pad_to_max: pad every launch to `max_batch` by repeating the last
+        pair (results sliced off). Guarantees one executable per bucket;
+        turn off only for offline/throughput-insensitive use.
+    """
+
+    def __init__(self, engine, max_batch: int = 8, max_delay_ms: float = 5.0,
+                 pad_to_max: bool = True):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.engine = engine
+        self.max_batch = int(max_batch)
+        self.max_delay = float(max_delay_ms) / 1e3
+        self.pad_to_max = bool(pad_to_max)
+        self.stats = BatcherStats()
+        self._buckets: Dict[Tuple[int, int], deque] = {}
+        self._cv = threading.Condition()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="vfi-microbatcher")
+        self._worker.start()
+
+    # -- client side ------------------------------------------------------
+
+    def submit(self, f0: np.ndarray, f1: np.ndarray) -> Future:
+        """Enqueue one pair; resolves to the (H, W, 3) float32 midpoint."""
+        f0 = np.asarray(f0, np.float32)
+        f1 = np.asarray(f1, np.float32)
+        if f0.ndim != 3 or f0.shape[-1] != 3 or f0.shape != f1.shape:
+            raise ValueError(
+                f"expected two (H, W, 3) frames of one shape, got "
+                f"{f0.shape} vs {f1.shape}")
+        req = _Request(f0, f1, Future(), time.monotonic())
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._buckets.setdefault(f0.shape[:2], deque()).append(req)
+            self.stats.requests += 1
+            self._cv.notify()
+        return req.future
+
+    def interpolate(self, f0: np.ndarray, f1: np.ndarray,
+                    timeout: float | None = None) -> np.ndarray:
+        """Blocking convenience wrapper around `submit`."""
+        return self.submit(f0, f1).result(timeout=timeout)
+
+    def close(self):
+        """Stop accepting work, drain queued requests, join the worker."""
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._worker.join()
+
+    # -- worker side ------------------------------------------------------
+
+    def _ready_bucket(self, now: float):
+        """A bucket that should launch now, else (None, soonest deadline)."""
+        soonest = None
+        for shape, q in self._buckets.items():
+            if not q:
+                continue
+            deadline = q[0].t_submit + self.max_delay
+            if len(q) >= self.max_batch or now >= deadline or self._closed:
+                return shape, None
+            soonest = deadline if soonest is None else min(soonest, deadline)
+        return None, soonest
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while True:
+                    shape, soonest = self._ready_bucket(time.monotonic())
+                    if shape is not None:
+                        q = self._buckets[shape]
+                        batch = [q.popleft()
+                                 for _ in range(min(len(q), self.max_batch))]
+                        break
+                    if self._closed:  # closed + nothing ready = drained
+                        return
+                    self._cv.wait(timeout=(None if soonest is None else
+                                           max(soonest - time.monotonic(), 0)))
+            self._launch(shape, batch)
+
+    def _launch(self, shape, batch):
+        n = len(batch)
+        f0 = np.stack([r.f0 for r in batch])
+        f1 = np.stack([r.f1 for r in batch])
+        if self.pad_to_max and n < self.max_batch:
+            pad = self.max_batch - n
+            f0 = np.concatenate([f0, np.repeat(f0[-1:], pad, axis=0)])
+            f1 = np.concatenate([f1, np.repeat(f1[-1:], pad, axis=0)])
+        try:
+            out = np.asarray(self.engine.midpoints(f0, f1))
+        except Exception as e:  # noqa: BLE001 - forwarded to every waiter
+            with self._cv:
+                self.stats.errors += n
+            for r in batch:
+                r.future.set_exception(e)
+            return
+        now = time.monotonic()
+        key = f"{shape[0]}x{shape[1]}"
+        with self._cv:
+            self.stats.batches += 1
+            self.stats.batch_sizes.append(n)
+            self.stats.padded_items += max(0, f0.shape[0] - n)
+            self.stats.per_bucket[key] = self.stats.per_bucket.get(key, 0) + n
+            for r in batch:
+                self.stats.latencies_ms.append((now - r.t_submit) * 1e3)
+        for i, r in enumerate(batch):
+            r.future.set_result(out[i])
+
+    def warmup(self, height: int, width: int):
+        """Compile a bucket's executable ahead of traffic (one full-size
+        launch of zeros; with pad_to_max this is THE steady-state shape)."""
+        z = np.zeros((self.max_batch, height, width, 3), np.float32)
+        np.asarray(self.engine.midpoints(z, z))

@@ -1,0 +1,184 @@
+"""HTTP serving front end for online frame interpolation.
+
+Stdlib-only (ThreadingHTTPServer): each connection thread blocks on the
+MicroBatcher future while the single device worker launches coalesced,
+fixed-shape batches (see batcher.py). The reference has no serving
+capability to mirror (its inference.py:61 is an offline video script);
+protocol and endpoints are therefore designed TPU-first rather than for
+parity.
+
+Protocol
+--------
+POST /v1/interpolate   body = u32_be(len(png0)) | png0 | png1
+                       -> 200, image/png (the temporal midpoint)
+GET  /healthz          -> 200 JSON {status, devices, platform, buckets}
+GET  /stats            -> 200 JSON batching statistics (see BatcherStats)
+
+Frames are 8-bit RGB PNGs of identical dimensions. Decode prefers the
+native C++ decoder (vfi_tpu.native), falling back to PIL; the response PNG
+is encoded with PIL.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from vfi_tpu.serve.batcher import MicroBatcher
+
+MAX_BODY_BYTES = 256 << 20  # two 4K RGBA PNGs fit with a wide margin
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, 3) float32 RGB in [0, 1]."""
+    from vfi_tpu import native
+
+    img = native.decode_png_rgb(data)
+    if img is None:
+        from PIL import Image
+
+        with Image.open(io.BytesIO(data)) as im:
+            img = np.asarray(im.convert("RGB"), np.uint8)
+    return img.astype(np.float32) / 255.0
+
+
+def _encode_png(frame: np.ndarray) -> bytes:
+    """(H, W, 3) float [0, 1] -> PNG bytes."""
+    from PIL import Image
+
+    u8 = np.clip(np.asarray(frame, np.float32) * 255.0 + 0.5, 0, 255)
+    buf = io.BytesIO()
+    Image.fromarray(u8.astype(np.uint8)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def split_pair_body(body: bytes) -> tuple[bytes, bytes]:
+    """Parse the length-prefixed two-PNG request body."""
+    if len(body) < 4:
+        raise ValueError("body shorter than the 4-byte length prefix")
+    (n0,) = struct.unpack(">I", body[:4])
+    if n0 == 0 or 4 + n0 >= len(body):
+        raise ValueError(f"invalid first-frame length {n0} for "
+                         f"{len(body)}-byte body")
+    return body[4:4 + n0], body[4 + n0:]
+
+
+def encode_pair_body(png0: bytes, png1: bytes) -> bytes:
+    """Client-side helper: build a /v1/interpolate request body."""
+    return struct.pack(">I", len(png0)) + png0 + png1
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # the server instance injects itself as class attribute `vfi`
+    vfi: "InterpolationServer"
+
+    def log_message(self, fmt, *args):  # route through the server's logger
+        if self.vfi.verbose:
+            super().log_message(fmt, *args)
+
+    def _reply(self, code: int, body: bytes, ctype: str):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _reply_json(self, code: int, obj: dict):
+        self._reply(code, json.dumps(obj).encode(), "application/json")
+
+    def do_GET(self):  # noqa: N802 - http.server API
+        if self.path == "/healthz":
+            self._reply_json(200, self.vfi.health())
+        elif self.path == "/stats":
+            self._reply_json(200, self.vfi.batcher.stats.snapshot())
+        else:
+            self._reply_json(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):  # noqa: N802 - http.server API
+        if self.path.split("?")[0] != "/v1/interpolate":
+            self._reply_json(404, {"error": f"unknown path {self.path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            if not 0 < length <= MAX_BODY_BYTES:
+                raise ValueError(f"bad Content-Length {length}")
+            png0, png1 = split_pair_body(self.rfile.read(length))
+            f0, f1 = _decode_png(png0), _decode_png(png1)
+            if f0.shape != f1.shape:
+                raise ValueError(f"frame shapes differ: {f0.shape} vs {f1.shape}")
+        except Exception as e:  # noqa: BLE001 - malformed request
+            self._reply_json(400, {"error": str(e)})
+            return
+        try:
+            mid = self.vfi.batcher.interpolate(f0, f1,
+                                               timeout=self.vfi.request_timeout)
+        except Exception as e:  # noqa: BLE001 - engine/timeout failure
+            self._reply_json(500, {"error": str(e)})
+            return
+        self._reply(200, _encode_png(mid), "image/png")
+
+
+class InterpolationServer:
+    """Owns the HTTP listener and the MicroBatcher.
+
+    Args:
+      engine: FrameInterpolator (any mesh / kernel configuration).
+      host/port: bind address; port 0 picks a free port (see `.port`).
+      request_timeout: per-request ceiling on waiting for the device.
+      batcher kwargs: max_batch / max_delay_ms / pad_to_max.
+    """
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
+                 max_batch: int = 8, max_delay_ms: float = 5.0,
+                 pad_to_max: bool = True, request_timeout: float = 120.0,
+                 verbose: bool = False):
+        self.batcher = MicroBatcher(engine, max_batch=max_batch,
+                                    max_delay_ms=max_delay_ms,
+                                    pad_to_max=pad_to_max)
+        self.request_timeout = request_timeout
+        self.verbose = verbose
+        handler = type("BoundHandler", (_Handler,), {"vfi": self})
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def health(self) -> dict:
+        import jax
+
+        devs = jax.devices()
+        return {
+            "status": "ok",
+            "platform": devs[0].platform,
+            "devices": len(devs),
+            "max_batch": self.batcher.max_batch,
+            "buckets": sorted(self.batcher.stats.per_bucket),
+        }
+
+    def warmup(self, shapes) -> None:
+        """Pre-compile executables for (height, width) buckets."""
+        for h, w in shapes:
+            self.batcher.warmup(h, w)
+
+    def start(self) -> "InterpolationServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True, name="vfi-http")
+        self._thread.start()
+        return self
+
+    def serve_forever(self):
+        self._httpd.serve_forever()
+
+    def shutdown(self):
+        self._httpd.shutdown()
+        if self._thread is not None:
+            self._thread.join()
+        self._httpd.server_close()
+        self.batcher.close()
