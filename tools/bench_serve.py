@@ -1,0 +1,171 @@
+"""Closed-loop load generator for the interpolation server.
+
+Measures online-serving throughput and latency percentiles against a
+running `serve.py` instance (or an in-process server with --inprocess):
+N closed-loop clients POST real Middlebury frame pairs at a fixed
+resolution; reports requests/s, per-request latency p50/p99, and the
+server-side batching stats (mean batch size = how well coalescing works
+at that concurrency).
+
+Example (server on the TPU):
+  python serve.py --model_path artifacts/emavfi_q2_best.npz --port 8000 \
+      --dcn_max_offset 2 --warp_max_flow 16 --use_pallas --warmup 720x1280 &
+  python tools/bench_serve.py --url http://127.0.0.1:8000 \
+      --size 720x1280 --clients 16 --requests 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vfi_tpu.serve import encode_pair_body  # noqa: E402
+
+DATA = "/root/reference/data/processed/train/RubberWhale"
+
+
+def _load_pair(h: int, w: int) -> bytes:
+    from PIL import Image
+
+    def png(path):
+        with Image.open(path) as im:
+            im = im.convert("RGB").resize((w, h), Image.BILINEAR)
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return buf.getvalue()
+
+    if os.path.isdir(DATA):
+        return encode_pair_body(png(os.path.join(DATA, "frame10.png")),
+                                png(os.path.join(DATA, "frame11.png")))
+    rng = np.random.default_rng(0)
+    from PIL import Image
+
+    def rand_png():
+        buf = io.BytesIO()
+        Image.fromarray(rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+                        ).save(buf, format="PNG")
+        return buf.getvalue()
+
+    return encode_pair_body(rand_png(), rand_png())
+
+
+def run_load(url: str, body: bytes, clients: int, total: int,
+             timeout: float) -> dict:
+    latencies: list[float] = []
+    errors = [0]
+    lock = threading.Lock()
+    counter = iter(range(total))
+
+    def client():
+        while True:
+            with lock:
+                if next(counter, None) is None:
+                    return
+            t0 = time.monotonic()
+            try:
+                req = urllib.request.Request(
+                    url + "/v1/interpolate", data=body,
+                    headers={"Content-Type": "application/octet-stream"})
+                with urllib.request.urlopen(req, timeout=timeout) as r:
+                    r.read()
+                    ok = r.status == 200
+            except Exception:  # noqa: BLE001 - counted, not raised
+                ok = False
+            with lock:
+                if ok:
+                    latencies.append(time.monotonic() - t0)
+                else:
+                    errors[0] += 1
+
+    t_start = time.monotonic()
+    threads = [threading.Thread(target=client) for _ in range(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.monotonic() - t_start
+
+    lat = sorted(latencies)
+
+    def pct(p):
+        return lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3 if lat else None
+
+    stats = None
+    try:
+        with urllib.request.urlopen(url + "/stats", timeout=10) as r:
+            stats = json.loads(r.read())
+    except Exception:  # noqa: BLE001 - stats are best-effort
+        pass
+    return {
+        "clients": clients,
+        "completed": len(lat),
+        "errors": errors[0],
+        "wall_s": round(wall, 3),
+        "requests_per_s": round(len(lat) / wall, 3) if wall else None,
+        "latency_ms_p50": round(pct(0.50), 1) if lat else None,
+        "latency_ms_p99": round(pct(0.99), 1) if lat else None,
+        "server_stats": stats,
+    }
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("--url", default=None,
+                        help="base URL of a running server; omit with "
+                             "--inprocess")
+    parser.add_argument("--inprocess", action="store_true",
+                        help="stand up an in-process server (needs "
+                             "--model_path)")
+    parser.add_argument("--model_path", default="artifacts/emavfi_q2_best.npz")
+    parser.add_argument("--size", default="720x1280", help="HxW of the pair")
+    parser.add_argument("--clients", type=int, default=16)
+    parser.add_argument("--requests", type=int, default=64)
+    parser.add_argument("--max_batch", type=int, default=8)
+    parser.add_argument("--max_delay_ms", type=float, default=5.0)
+    parser.add_argument("--timeout", type=float, default=600.0)
+    parser.add_argument("--use_pallas", action="store_true")
+    parser.add_argument("--dcn_max_offset", type=int, default=None)
+    parser.add_argument("--warp_max_flow", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    h, w = (int(v) for v in args.size.lower().split("x"))
+    body = _load_pair(h, w)
+
+    server = None
+    url = args.url
+    if args.inprocess or url is None:
+        from vfi_tpu.cli.common import load_model_params, setup
+        from vfi_tpu.infer.pair import FrameInterpolator
+        from vfi_tpu.serve import InterpolationServer
+
+        setup()
+        engine = FrameInterpolator(load_model_params(args.model_path),
+                                   dcn_max_offset=args.dcn_max_offset,
+                                   warp_max_flow=args.warp_max_flow,
+                                   use_pallas=args.use_pallas)
+        server = InterpolationServer(engine, port=0,
+                                     max_batch=args.max_batch,
+                                     max_delay_ms=args.max_delay_ms).start()
+        server.warmup([(h, w)])
+        url = f"http://127.0.0.1:{server.port}"
+
+    result = run_load(url, body, args.clients, args.requests, args.timeout)
+    result["size"] = f"{h}x{w}"
+    print(json.dumps(result))
+    if server is not None:
+        server.shutdown()
+    return 0 if result["errors"] == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
