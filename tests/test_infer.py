@@ -180,6 +180,47 @@ def test_video_reference_compat_ordering(tiny_interp, tmp_path, rng):
     assert stats["frames_written"] == (n - 1) * 4 + 1
 
 
+def test_multi_clip_batch_inference(tmp_path, rng):
+    """BASELINE config 5: N clips over one DP engine — pairs from different
+    clips coalesce into shared device batches (vfi_tpu/infer/multi.py)."""
+    cv2 = pytest.importorskip("cv2")
+    from vfi_tpu.infer.multi import interpolate_videos
+    from vfi_tpu.infer.pair import FrameInterpolator
+    from vfi_tpu.models import EMAVFI
+    from vfi_tpu.parallel import make_mesh
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    interp = FrameInterpolator(params, bf16=False, mesh=make_mesh(data=2))
+
+    w, h = 64, 48
+    frame_counts = (6, 4)  # different lengths: one clip drains first
+    inputs, outputs = [], []
+    for ci, n in enumerate(frame_counts):
+        src = str(tmp_path / f"in{ci}.avi")
+        writer = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"MJPG"),
+                                 30.0, (w, h))
+        base = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+        for i in range(n):
+            writer.write(np.roll(base, i * 2 + ci, axis=1))
+        writer.release()
+        inputs.append(src)
+        outputs.append(str(tmp_path / f"out{ci}.avi"))
+
+    stats = interpolate_videos(inputs, outputs, interp, target_fps=60.0,
+                               scale=1.0, batch_pairs=2, max_delay_ms=100.0)
+    for st, n in zip(stats, frame_counts):
+        assert st["factor"] == 1
+        assert st["frames_written"] == 2 * n - 1
+    total_pairs = sum(n - 1 for n in frame_counts)
+    assert stats[0]["batcher"]["requests"] == total_pairs
+    for dst, n in zip(outputs, frame_counts):
+        cap = cv2.VideoCapture(dst)
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 2 * n - 1
+        cap.release()
+
+
 def test_video_spatially_sharded(tmp_path, rng):
     """BASELINE config 5 shape: the video pipeline over a ('data','spatial')
     mesh — batch over data, H over spatial (GSPMD halo path)."""

@@ -23,6 +23,24 @@ def main(argv=None) -> int:
                      metavar=("H", "W"), help="resize inputs (default: native)")
     two.add_argument("--fp32", action="store_true", help="disable bf16 compute")
 
+    multi = sub.add_parser(
+        "videos", help="multi-clip batch upconversion (BASELINE config 5): "
+                       "pairs from all clips coalesce into shared device "
+                       "batches over the data-parallel mesh")
+    multi.add_argument("--inputs", nargs="+", required=True)
+    multi.add_argument("--outputs", nargs="+", required=True)
+    multi.add_argument("--model_path", required=True)
+    multi.add_argument("--target_fps", type=float, default=None)
+    multi.add_argument("--max_interpolation_factor", type=int, default=4)
+    multi.add_argument("--frame_interval", type=int, default=1)
+    multi.add_argument("--codec", default="mp4v")
+    multi.add_argument("--scale", type=float, default=0.5)
+    multi.add_argument("--batch_pairs", type=int, default=8)
+    multi.add_argument("--max_delay_ms", type=float, default=50.0,
+                       help="max wait for cross-clip batch-mates")
+    multi.add_argument("--fp32", action="store_true")
+    multi.add_argument("--reference-compat", action="store_true")
+
     vid = sub.add_parser("video", help="frame-rate upconversion of a video")
     vid.add_argument("--input_video", required=True)
     vid.add_argument("--output_video", required=True)
@@ -48,7 +66,7 @@ def main(argv=None) -> int:
                      help="bit-for-bit reproduce the reference CLI's output "
                           "quirks (BGR stats, trailing originals, duplicated "
                           "midpoints)")
-    for p in (two, vid):
+    for p in (two, vid, multi):
         p.add_argument("--dcn_max_offset", type=int, default=None,
                        help="bounded-offset fast DCN sampling radius (px)")
         p.add_argument("--warp_max_flow", type=int, default=None,
@@ -115,6 +133,28 @@ def main(argv=None) -> int:
         mid = np.asarray(interp.midpoints(load(args.frame0), load(args.frame1)))[0]
         Image.fromarray((np.clip(mid, 0, 1) * 255).astype(np.uint8)).save(args.output)
         print(f"wrote {args.output}")
+        return 0
+
+    if args.cmd == "videos":
+        from vfi_tpu.infer.multi import interpolate_videos
+
+        interp = FrameInterpolator(params, bf16=not args.fp32,
+                                   dcn_max_offset=args.dcn_max_offset,
+                                   warp_max_flow=args.warp_max_flow,
+                                   use_pallas=args.use_pallas,
+                                   mesh=mesh, spatial=args.spatial > 1,
+                                   **flow_kw)
+        all_stats = interpolate_videos(
+            args.inputs, args.outputs, interp,
+            target_fps=args.target_fps,
+            max_interpolation_factor=args.max_interpolation_factor,
+            frame_interval=args.frame_interval, codec=args.codec,
+            scale=args.scale, batch_pairs=args.batch_pairs,
+            reference_compat=args.reference_compat,
+            max_delay_ms=args.max_delay_ms)
+        for inp, st in zip(args.inputs, all_stats):
+            print(inp, {k: v for k, v in st.items() if k != "batcher"})
+        print("batching:", all_stats[0]["batcher"] if all_stats else {})
         return 0
 
     interp = FrameInterpolator(params, bf16=not args.fp32,
