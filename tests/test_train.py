@@ -345,3 +345,80 @@ def test_trainer_warm_start_init_model(tmp_path, rng):
                               checkpoint_path=str(tmp_path / "ckpt2"))
     with pytest.raises(ValueError, match="init_model_path"):
         Trainer(bad)
+
+
+def test_trainer_ema(tmp_path, rng):
+    """ema_decay > 0: the EMA shadow tracks (but lags) the live params, the
+    best-model npz exports the SHADOW, the shadow persists + restores across
+    a resume, and decay=0 keeps the feature fully off."""
+    import dataclasses
+
+    from PIL import Image
+
+    from vfi_tpu.train.loop import Trainer
+    from vfi_tpu.utils.config import MeshConfig, TrainConfig
+    from vfi_tpu.utils.convert import load_params_npz
+
+    root = tmp_path / "data"
+    for split in ("train", "val"):
+        d = root / split / "scene"
+        d.mkdir(parents=True)
+        for i in range(4):
+            img = rng.integers(0, 255, (20, 24, 3)).astype(np.uint8)
+            Image.fromarray(img).save(d / f"f{i}.png")
+
+    cfg = TrainConfig(
+        batch_size=2, learning_rate=1e-3, num_epochs=1,
+        train_data_dir=str(root / "train"), val_data_dir=str(root / "val"),
+        crop_size=(16, 16), random_rotation=False, horizontal_flip=False,
+        color_jitter=None, random_grayscale=0.0,
+        vgg_weight=0.0, temporal_weight=0.0,
+        mid_channels=8, num_blocks=1, bf16=False,
+        # data=2: multi-device meshes honor buffer donation (single-device
+        # CPU jit ignores it), which is what catches shadow/params aliasing
+        mesh=MeshConfig(data=2, spatial=1), ema_decay=0.9,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        best_model_path=str(tmp_path / "best"),
+        output_image_path=str(tmp_path / "imgs"), log_every=100)
+    trainer = Trainer(cfg)
+    init_leaves = [np.asarray(v) for v in jax.tree.leaves(trainer.ema_params)]
+    trainer.run(log=lambda *_: None)
+    trainer.ckpt.wait()
+    ema_leaves = [np.asarray(v) for v in jax.tree.leaves(trainer.ema_params)]
+    live_leaves = [np.asarray(v) for v in jax.tree.leaves(trainer.state.params)]
+    # the shadow moved off init but is NOT the live params (it lags)
+    assert any(not np.allclose(a, b) for a, b in zip(init_leaves, ema_leaves))
+    assert any(not np.allclose(a, b) for a, b in zip(ema_leaves, live_leaves))
+    # every shadow leaf lies between init and live (convex combination)
+    for e, i, l in zip(ema_leaves, init_leaves, live_leaves):
+        lo, hi = np.minimum(i, l), np.maximum(i, l)
+        assert np.all(e >= lo - 1e-6) and np.all(e <= hi + 1e-6)
+    # the best-model export is the SHADOW, not the live params
+    best = load_params_npz(str(tmp_path / "best") + ".npz")
+    best_leaves = [np.asarray(v) for v in jax.tree.leaves(best)]
+    assert all(np.allclose(a, b) for a, b in zip(best_leaves, ema_leaves))
+    # the shadow persisted next to the orbax step
+    assert (tmp_path / "ckpt" / "ema_latest.npz").exists()
+    trainer.ckpt.close()
+
+    # resume restores the shadow, not a re-synced copy of the live params
+    cfg2 = dataclasses.replace(cfg, num_epochs=2)
+    trainer2 = Trainer(cfg2)
+    assert trainer2.start_epoch == 1
+    got = [np.asarray(v) for v in jax.tree.leaves(trainer2.ema_params)]
+    assert all(np.allclose(a, b) for a, b in zip(got, ema_leaves))
+    trainer2.ckpt.close()
+
+    # decay 0 -> feature off
+    cfg3 = dataclasses.replace(cfg, ema_decay=0.0,
+                               checkpoint_path=str(tmp_path / "ckpt3"),
+                               resume=False)
+    trainer3 = Trainer(cfg3)
+    assert trainer3.ema_params is None and trainer3._ema_update is None
+    trainer3.ckpt.close()
+
+    # out-of-range decay -> loud failure
+    cfg4 = dataclasses.replace(cfg, ema_decay=1.0,
+                               checkpoint_path=str(tmp_path / "ckpt4"))
+    with pytest.raises(ValueError, match="ema_decay"):
+        Trainer(cfg4)

@@ -355,6 +355,31 @@ class Trainer:
         # eval/sample input tree: flow-prior consumes the joint tree
         self._fwd_params = ((lambda p: p) if cfg.flow_prior
                             else self._model_params)
+        # Parameter EMA (cfg.ema_decay > 0): a shadow tree updated on-device
+        # after every step; validation/export then use the shadow. Kept
+        # OUTSIDE TrainState so orbax checkpoints stay layout-compatible
+        # with runs that predate the feature — persisted as a plain npz
+        # alongside the orbax step (restored on resume when present).
+        self.ema_params = None
+        self._ema_update = None
+        if cfg.ema_decay > 0.0:
+            if not 0.0 < cfg.ema_decay < 1.0:
+                raise ValueError(f"ema_decay must be in (0, 1), got "
+                                 f"{cfg.ema_decay}")
+            d = float(cfg.ema_decay)
+            # jnp.copy, NOT asarray: asarray aliases the live param buffers,
+            # and the donated train step would delete them out from under
+            # the shadow on the first step (single-device CPU jit ignores
+            # donation, so only multi-device meshes hit it).
+            self.ema_params = jax.tree.map(jnp.copy, params)
+
+            def _ema(ema, p):
+                return jax.tree.map(lambda e, q: d * e + (1.0 - d) * q, ema, p)
+
+            self._ema_update = jax.jit(_ema, donate_argnums=(0,),
+                                       in_shardings=(rep, rep),
+                                       out_shardings=rep)
+
         self.ckpt = CheckpointManager(cfg.checkpoint_path, keep=cfg.keep_checkpoints)
         self.start_epoch = 0
         self.best_val = float("inf")
@@ -369,10 +394,37 @@ class Trainer:
             print(f"[vfi_tpu] resumed from epoch {last_epoch} "
                   f"(step {int(self.state.step)}, lr {self.scheduler.lr:.6f}, "
                   f"best val {self.best_val:.4f})")
+            if self.ema_params is not None:
+                ema_path = os.path.join(cfg.checkpoint_path, "ema_latest.npz")
+                if os.path.exists(ema_path):
+                    self.ema_params = jax.tree.map(
+                        lambda a, b: jnp.asarray(b, a.dtype),
+                        self.ema_params, load_params_npz(ema_path))
+                else:  # EMA newly enabled on an old run: restart the shadow
+                    self.ema_params = jax.tree.map(jnp.copy,
+                                                   self.state.params)
 
         self.state = jax.device_put(self.state, rep)
+        if self.ema_params is not None:
+            self.ema_params = jax.device_put(self.ema_params, rep)
         self.vgg_params = jax.device_put(self.vgg_params, rep)
         os.makedirs(cfg.output_image_path, exist_ok=True)
+
+    def _eval_tree(self):
+        """Params used for validation / sample dumps / exports: the EMA
+        shadow when enabled, the live params otherwise."""
+        return (self.ema_params if self.ema_params is not None
+                else self.state.params)
+
+    def _save_ema(self):
+        """Persist the EMA shadow next to the orbax step (plain npz keeps
+        old-checkpoint layouts restorable; last-write-wins is fine — the
+        shadow is a smooth function of recent steps)."""
+        if self.ema_params is not None:
+            from vfi_tpu.train.checkpoints import save_params_npz
+            save_params_npz(self.ema_params,
+                            os.path.join(self.cfg.checkpoint_path,
+                                         "ema_latest.npz"))
 
     def _device_batches(self, loader):
         """Iterate a host loader with one batch of device-transfer lookahead:
@@ -431,6 +483,7 @@ class Trainer:
             log("[vfi_tpu] interrupted — saving checkpoint for resume")
             self.ckpt.save(max(self.start_epoch, len(history["val_loss"])),
                            self.state, self.scheduler)
+            self._save_ema()
             self.ckpt.wait()
             raise
         return history
@@ -448,10 +501,13 @@ class Trainer:
             self.train_loader.epoch = epoch
             for i, (batch, _) in enumerate(self._device_batches(self.train_loader)):
                 self.state, metrics = self.train_step(self.state, self.vgg_params, *batch)
+                if self._ema_update is not None:
+                    self.ema_params = self._ema_update(self.ema_params,
+                                                       self.state.params)
                 running += float(metrics["loss"])
                 nb += 1
                 if i == 0:
-                    pred = self._sample_fwd(self._fwd_params(self.state.params),
+                    pred = self._sample_fwd(self._fwd_params(self._eval_tree()),
                                             batch[0][:1], batch[2][:1])
                     self._dump_sample(np.asarray(pred), epoch)
                 if i % cfg.log_every == 0:
@@ -466,7 +522,7 @@ class Trainer:
             self.val_loader.epoch = 0
             val_running, vp, vs, vn = 0.0, 0.0, 0.0, 0
             for batch, true_n in self._device_batches(self.val_loader):
-                m = self.eval_step(self._fwd_params(self.state.params),
+                m = self.eval_step(self._fwd_params(self._eval_tree()),
                                    self.vgg_params, *batch)
                 w = true_n
                 val_running += float(m["loss"]) * w; vp += float(m["psnr"]) * w
@@ -491,13 +547,13 @@ class Trainer:
             if val_loss < self.best_val:
                 self.best_val = val_loss
                 from vfi_tpu.train.checkpoints import save_params_npz
-                save_params_npz(self._model_params(self.state.params),
+                save_params_npz(self._model_params(self._eval_tree()),
                                 cfg.best_model_path + ".npz")
                 if self.flow_module is not None:
                     # jointly-trained flow estimator: exported alongside so
                     # `eval.py --gt_flow_dir` can score it against the
                     # bundled Middlebury GT .flo fields
-                    save_params_npz(self.state.params["flow"],
+                    save_params_npz(self._eval_tree()["flow"],
                                     cfg.best_model_path + ".flow.npz")
                 log(f"  new best val loss {val_loss:.4f} -> {cfg.best_model_path}.npz")
 
@@ -505,7 +561,7 @@ class Trainer:
                 from vfi_tpu.train.checkpoints import save_params_npz
                 snap_dir = os.path.join(cfg.checkpoint_path, "snapshots")
                 os.makedirs(snap_dir, exist_ok=True)
-                save_params_npz(self._model_params(self.state.params),
+                save_params_npz(self._model_params(self._eval_tree()),
                                 os.path.join(snap_dir, f"epoch_{epoch + 1}.npz"))
 
             # ---- schedule + checkpoint ----
@@ -513,6 +569,7 @@ class Trainer:
             self.state = set_learning_rate(self.state, new_lr)
             self.ckpt.save(epoch, self.state, self.scheduler,
                            extra={"val_loss": val_loss, "best_val": self.best_val})
+            self._save_ema()
         if profile_started:
             jax.profiler.stop_trace()
         self.ckpt.wait()

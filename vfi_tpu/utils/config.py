@@ -109,6 +109,13 @@ class TrainConfig:
     # this mode.
     flow_prior: bool = False
     flow_prior_scale: float = 0.5
+    # Exponential moving average of the parameters (0 = off). Despite the
+    # reference model's NAME (EMA-VFI), no EMA mechanism exists anywhere in
+    # its code (SURVEY.md intro; reference src/models/ema_vfi.py:63) — this
+    # supplies the classic quality lever: validation, best-model export,
+    # and snapshots all use the EMA tree when enabled. Typical: 0.999 for
+    # long runs, ~0.99 for short fine-tunes.
+    ema_decay: float = 0.0
     # Dead keys in the reference (train_config.yaml:24-25) — accepted and
     # ignored for YAML compatibility.
     gradient_order: int = 1
