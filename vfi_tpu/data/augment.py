@@ -87,9 +87,12 @@ def _grayscale(img: np.ndarray) -> np.ndarray:
 
 
 def _rgb_to_hsv(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    # Elementwise maximum/minimum instead of axis reductions: the hue op is
+    # the data pipeline's hot spot on this 1-core host, and numpy's
+    # reduce-over-minor-axis is ~4x slower than two elementwise maxima.
     r, g, b = img[..., 0], img[..., 1], img[..., 2]
-    maxc = np.max(img, axis=-1)
-    minc = np.min(img, axis=-1)
+    maxc = np.maximum(np.maximum(r, g), b)
+    minc = np.minimum(np.minimum(r, g), b)
     v = maxc
     delta = maxc - minc
     s = np.where(maxc > 0, delta / np.maximum(maxc, 1e-12), 0.0)
@@ -104,20 +107,16 @@ def _rgb_to_hsv(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def _hsv_to_rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
-    i = np.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * f)
-    t = v * (1.0 - s * (1.0 - f))
-    i = i.astype(np.int64) % 6
-    choices_r = np.stack([v, q, p, p, t, v], -1)
-    choices_g = np.stack([t, v, v, q, p, p], -1)
-    choices_b = np.stack([p, p, t, v, v, q], -1)
-    idx = i[..., None]
-    r = np.take_along_axis(choices_r, idx, -1)[..., 0]
-    g = np.take_along_axis(choices_g, idx, -1)[..., 0]
-    b = np.take_along_axis(choices_b, idx, -1)[..., 0]
-    return np.stack([r, g, b], -1)
+    # Branch-free "K-mod" form of the standard sextant formula (identical
+    # math to the p/q/t case table, ~4x faster than stacking 6 choices and
+    # gathering): chan(n) = v - v*s*clip(min(k, 4-k), 0, 1), k = (n+6h) mod 6.
+    vs = v * s
+
+    def chan(n: float) -> np.ndarray:
+        k = (n + h * 6.0) % 6.0
+        return v - vs * np.clip(np.minimum(k, 4.0 - k), 0.0, 1.0)
+
+    return np.stack([chan(5.0), chan(3.0), chan(1.0)], -1)
 
 
 def sample_jitter_params(rng: np.random.Generator, cfg: AugmentConfig):

@@ -14,6 +14,7 @@ run them on worker threads while the TPU computes.
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
@@ -57,14 +58,24 @@ class TripletDataset:
         reference's training convention (train.py:40-43). The model output
         stays [0, 1] (the reference's normalization mismatch, preserved for
         checkpoint parity).
+      cache_decoded_mb: budget for an in-RAM cache of decoded images
+        (0 disables). Middlebury is tiny (train+val ~160 MB decoded) but
+        this host has ONE CPU core, so re-decoding 3 PNGs per sample per
+        epoch puts the decoder on the critical path of every training
+        step; caching removes it after epoch 0. Cached arrays are marked
+        read-only — the augment/normalize pipeline is purely functional.
     """
 
     data_dir: str
     frame_interval: int = 1
     augment: Optional[AugmentConfig] = None
     normalize: bool = True
+    cache_decoded_mb: float = 512.0
 
     def __post_init__(self):
+        self._cache: dict[str, np.ndarray] = {}
+        self._cache_bytes = 0
+        self._cache_lock = threading.Lock()
         self.triplets: list[Tuple[str, str, str]] = []
         for scene in sorted(os.listdir(self.data_dir)):
             scene_path = os.path.join(self.data_dir, scene)
@@ -82,10 +93,27 @@ class TripletDataset:
     def __len__(self) -> int:
         return len(self.triplets)
 
+    def _load(self, path: str) -> np.ndarray:
+        img = self._cache.get(path)
+        if img is not None:
+            return img
+        img = load_image(path)
+        limit = int(self.cache_decoded_mb * 1e6)
+        if limit > 0 and img.nbytes <= limit:
+            img.setflags(write=False)
+            with self._cache_lock:
+                while self._cache_bytes + img.nbytes > limit and self._cache:
+                    _, old = self._cache.popitem()
+                    self._cache_bytes -= old.nbytes
+                if path not in self._cache:
+                    self._cache[path] = img
+                    self._cache_bytes += img.nbytes
+        return img
+
     def get(self, idx: int, rng: np.random.Generator) -> Sequence[np.ndarray]:
         """Load + augment + normalize one triplet -> three (h, w, 3) f32."""
         paths = self.triplets[idx]
-        frames = [load_image(p) for p in paths]
+        frames = [self._load(p) for p in paths]
         if self.augment is not None:
             frames = augment_triplet(frames, rng, self.augment)
         if self.normalize:
