@@ -422,3 +422,57 @@ def test_trainer_ema(tmp_path, rng):
                                checkpoint_path=str(tmp_path / "ckpt4"))
     with pytest.raises(ValueError, match="ema_decay"):
         Trainer(cfg4)
+
+
+def test_trainer_best_metric_psnr(tmp_path, rng):
+    """best_metric='val_psnr' gates the best-model export on PSNR (maximized)
+    instead of the multi-term val loss — the quality-run mode added after the
+    round-2 EMA fine-tune showed val loss drifting UP while PSNR improved."""
+    import dataclasses
+
+    import os
+
+    from PIL import Image
+
+    from vfi_tpu.train.loop import Trainer
+    from vfi_tpu.utils.config import MeshConfig, TrainConfig
+
+    root = tmp_path / "data"
+    for split in ("train", "val"):
+        d = root / split / "scene"
+        d.mkdir(parents=True)
+        for i in range(5):
+            img = rng.integers(0, 255, (20, 24, 3)).astype(np.uint8)
+            Image.fromarray(img).save(d / f"f{i}.png")
+
+    cfg = TrainConfig(
+        batch_size=2, learning_rate=1e-3, num_epochs=2,
+        train_data_dir=str(root / "train"), val_data_dir=str(root / "val"),
+        crop_size=(16, 16), random_rotation=False, horizontal_flip=False,
+        color_jitter=None, random_grayscale=0.0,
+        vgg_weight=0.0, temporal_weight=0.0,
+        mid_channels=8, num_blocks=1, bf16=False,
+        mesh=MeshConfig(data=2, spatial=1),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        best_model_path=str(tmp_path / "best"),
+        output_image_path=str(tmp_path / "imgs"),
+        best_metric="val_psnr", log_every=100)
+    trainer = Trainer(cfg)
+    history = trainer.run(log=lambda *_: None)
+    trainer.ckpt.wait()
+    assert os.path.exists(str(tmp_path / "best") + ".npz")
+    # the watermark is the negated best PSNR seen so far
+    assert trainer.best_val == -max(history["psnr"])
+    trainer.ckpt.close()
+
+    # the watermark survives a resume (same metric space)
+    cfg2 = dataclasses.replace(cfg, num_epochs=3)
+    trainer2 = Trainer(cfg2)
+    assert trainer2.start_epoch == 2
+    assert trainer2.best_val == -max(history["psnr"])
+    trainer2.ckpt.close()
+
+    # unknown metric -> loud failure
+    cfg3 = dataclasses.replace(cfg, best_metric="ssim")
+    with pytest.raises(ValueError, match="best_metric"):
+        Trainer(cfg3)

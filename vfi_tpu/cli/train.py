@@ -30,6 +30,7 @@ def main(argv=None) -> int:
     history = trainer.run()
     if history["val_loss"]:
         print(f"done: best val loss {min(history['val_loss']):.4f}, "
+              f"best PSNR {max(history['psnr']):.2f} dB, "
               f"final PSNR {history['psnr'][-1]:.2f} dB")
     return 0
 

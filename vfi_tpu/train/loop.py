@@ -177,6 +177,9 @@ class Trainer:
     def __init__(self, config: TrainConfig):
         self.cfg = config
         cfg = config
+        if cfg.best_metric not in ("val_loss", "val_psnr"):
+            raise ValueError(f"unknown best_metric {cfg.best_metric!r} "
+                             "(expected 'val_loss' or 'val_psnr')")
         self.mesh = make_mesh(cfg.mesh.data, cfg.mesh.spatial)
         if cfg.batch_size % self.mesh.shape["data"] != 0:
             raise ValueError(
@@ -544,8 +547,14 @@ class Trainer:
                                "step": int(self.state.step)})
 
             # ---- best-model save (actually gated, unlike train.py:180-182) ----
-            if val_loss < self.best_val:
-                self.best_val = val_loss
+            # Gate on the configured metric. The reference gates on val loss;
+            # but the multi-term loss on augmented val crops can drift UP
+            # while PSNR/SSIM improve (observed: round-2 EMA fine-tune, val
+            # loss 0.290->0.298 over 50 epochs with PSNR +0.06 dB), so
+            # quality runs can gate on val PSNR instead (best_metric).
+            score = -val_psnr if self.cfg.best_metric == "val_psnr" else val_loss
+            if score < self.best_val:
+                self.best_val = score
                 from vfi_tpu.train.checkpoints import save_params_npz
                 save_params_npz(self._model_params(self._eval_tree()),
                                 cfg.best_model_path + ".npz")
@@ -555,7 +564,10 @@ class Trainer:
                     # bundled Middlebury GT .flo fields
                     save_params_npz(self._eval_tree()["flow"],
                                     cfg.best_model_path + ".flow.npz")
-                log(f"  new best val loss {val_loss:.4f} -> {cfg.best_model_path}.npz")
+                what = (f"val PSNR {val_psnr:.3f}"
+                        if cfg.best_metric == "val_psnr"
+                        else f"val loss {val_loss:.4f}")
+                log(f"  new best {what} -> {cfg.best_model_path}.npz")
 
             if cfg.snapshot_every > 0 and (epoch + 1) % cfg.snapshot_every == 0:
                 from vfi_tpu.train.checkpoints import save_params_npz

@@ -124,6 +124,11 @@ class TrainConfig:
     # Checkpointing / outputs (reference: train_config.yaml:7-8, 27)
     checkpoint_path: str = "checkpoints"
     best_model_path: str = "best_ema_vfi"
+    # Metric gating the best-model export: "val_loss" (reference semantics,
+    # train.py:180-182) or "val_psnr". The multi-term loss on augmented val
+    # crops can drift UP while PSNR/SSIM improve (observed in the round-2
+    # EMA fine-tune), so quality runs should gate on "val_psnr".
+    best_metric: str = "val_loss"
     output_image_path: str = "output_images"
     resume: bool = True            # addition: the reference cannot resume
     keep_checkpoints: int = 3
