@@ -252,3 +252,41 @@ def test_video_spatially_sharded(tmp_path, rng):
     cap = cv2.VideoCapture(dst)
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 2 * n - 1
     cap.release()
+
+
+def test_tta_equals_mean_of_transformed_forwards(rng):
+    """tta=True must equal the mean over the 4 symmetry-transformed plain
+    forwards (identity / hflip / vflip / temporal swap), each un-transformed
+    back — computed here with the non-TTA engine as the oracle."""
+    from vfi_tpu.models import EMAVFI
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    plain = FrameInterpolator(params, mid_channels=8, num_blocks=1, bf16=False)
+    tta = FrameInterpolator(params, mid_channels=8, num_blocks=1, bf16=False,
+                            tta=True)
+    f0 = rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
+    f1 = rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
+    outs = [
+        np.asarray(plain.midpoints(f0, f1)),
+        np.asarray(plain.midpoints(f0[:, :, ::-1], f1[:, :, ::-1]))[:, :, ::-1],
+        np.asarray(plain.midpoints(f0[:, ::-1], f1[:, ::-1]))[:, ::-1],
+        np.asarray(plain.midpoints(f1, f0)),
+    ]
+    expected = np.mean(np.stack(outs), axis=0)
+    got = np.asarray(tta.midpoints(f0, f1))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_tta_rejects_spatial():
+    from vfi_tpu.models import EMAVFI
+    from vfi_tpu.parallel import make_mesh
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    with pytest.raises(ValueError, match="tta"):
+        FrameInterpolator(params, mid_channels=8, num_blocks=1, bf16=False,
+                          tta=True, spatial=True,
+                          mesh=make_mesh(data=-1, spatial=2))

@@ -127,6 +127,10 @@ def main(argv=None) -> int:
     parser.add_argument("--warp_max_flow", type=int, default=None,
                         help="bounded warp flow radius (px)")
     parser.add_argument("--use_pallas", action="store_true")
+    parser.add_argument("--tta", action="store_true",
+                        help="average 4 symmetry-transformed forwards "
+                             "(identity/hflip/vflip/temporal-swap); ~4x "
+                             "compute for a small PSNR gain")
     parser.add_argument("--flow_model", default=None,
                         help="SimpleFlowNet params npz (saved as "
                              "<best_model_path>.flow.npz by joint training); "
@@ -175,6 +179,7 @@ def main(argv=None) -> int:
                                dcn_max_offset=args.dcn_max_offset,
                                warp_max_flow=args.warp_max_flow,
                                use_pallas=args.use_pallas,
+                               tta=args.tta,
                                flow_params=flow_params,
                                flow_prior_scale=args.flow_prior_scale,
                                flow_mid_channels=args.flow_mid_channels,

@@ -90,6 +90,11 @@ def main(argv=None) -> int:
         p.add_argument("--flow_prior_scale", type=float, default=0.5)
         p.add_argument("--flow_mid_channels", type=int, default=32)
         p.add_argument("--flow_levels", type=int, default=3)
+        p.add_argument("--tta", action="store_true",
+                       help="average 4 symmetry-transformed forwards "
+                            "(identity/hflip/vflip/temporal-swap); ~4x "
+                            "compute for a small quality gain; not with "
+                            "--spatial > 1")
     args = parser.parse_args(argv)
 
     from vfi_tpu.cli.common import load_model_params, setup
@@ -104,7 +109,8 @@ def main(argv=None) -> int:
     flow_kw = dict(flow_params=flow_params,
                    flow_prior_scale=args.flow_prior_scale,
                    flow_mid_channels=args.flow_mid_channels,
-                   flow_levels=args.flow_levels)
+                   flow_levels=args.flow_levels,
+                   tta=args.tta)
 
     from vfi_tpu.infer.pair import FrameInterpolator
 

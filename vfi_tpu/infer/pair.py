@@ -71,7 +71,8 @@ class FrameInterpolator:
                  flow_params=None,
                  flow_prior_scale: float = 0.5,
                  flow_mid_channels: int = 32,
-                 flow_levels: int = 3):
+                 flow_levels: int = 3,
+                 tta: bool = False):
         """`spatial=True` additionally shards frame height over the mesh's
         'spatial' axis (single-clip 1080p/4K mode; XLA inserts the conv/
         shift halo exchanges — see tests/test_parallel.py).
@@ -82,7 +83,16 @@ class FrameInterpolator:
         (models/prior.py, the large-motion lever). Only valid on checkpoints
         TRAINED with flow_prior — the pre-warp changes the input
         distribution. Not supported together with `spatial` sharding (the
-        pyramid flow net is global)."""
+        pyramid flow net is global).
+
+        `tta=True` averages the prediction over 4 symmetry-transformed
+        forwards inside one jit graph — identity, horizontal flip, vertical
+        flip, and temporal swap (the midpoint of (f1, f0) is the midpoint of
+        (f0, f1)) — each inverse-transformed back before averaging. ~4x the
+        compute for a fraction-of-a-dB PSNR gain; an inference-time quality
+        lever the reference does not have. Composes with flow_prior (the
+        prior net sees the transformed pair, so its flow is consistent) and
+        with DP batch sharding; not with manual `spatial` sharding."""
         from vfi_tpu.utils.convert import infer_model_dims
 
         if flow_params is not None and spatial:
@@ -119,7 +129,7 @@ class FrameInterpolator:
                     "flow": jax.tree.map(jnp.asarray, flow_params)}
         self.params = jax.device_put(tree, rep)
 
-        def fwd(p, f0, f1):
+        def single(p, f0, f1):
             mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 1, 1, 3)
             std = jnp.asarray(IMAGENET_STD).reshape(1, 1, 1, 3)
             n0 = (f0 - mean) / std
@@ -132,6 +142,28 @@ class FrameInterpolator:
                     n0, n1, scale=flow_prior_scale)
                 p = p["model"]
             return self.model.apply(p, n0, n1)
+
+        if tta:
+            if spatial:
+                raise ValueError("tta is not supported with spatial sharding")
+            # (transform, inverse) pairs; flips commute with the per-channel
+            # normalize so they apply to the raw [0,1] frames.
+            syms = (
+                (lambda a, b: (a, b), lambda o: o),
+                (lambda a, b: (jnp.flip(a, 2), jnp.flip(b, 2)),
+                 lambda o: jnp.flip(o, 2)),
+                (lambda a, b: (jnp.flip(a, 1), jnp.flip(b, 1)),
+                 lambda o: jnp.flip(o, 1)),
+                (lambda a, b: (b, a), lambda o: o),
+            )
+
+            def fwd(p, f0, f1):
+                outs = [inv(single(p, *tf(f0, f1))) for tf, inv in syms]
+                # mean in f32: the branches are bf16 under the default policy
+                return jnp.mean(jnp.stack([o.astype(jnp.float32)
+                                           for o in outs]), axis=0)
+        else:
+            fwd = single
 
         n_data = self.mesh.shape["data"]
         self._spatial_manual = bool(
