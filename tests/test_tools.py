@@ -35,3 +35,42 @@ def test_profile_forward_strip_and_rollup():
     assert _strip("%custom-call.4") == "custom-call"
     assert _strip("a/b/convolution.7") == "convolution"
     assert _strip("copy-start") == "copy-start"
+
+
+def test_bench_batch_sweep(monkeypatch, capsys):
+    """bench.main() sweeps batch upward on the winning config, keeps the
+    best-throughput batch (>2% gain required), and survives an OOM rung."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+
+    calls = []
+
+    def fake(kwargs, b=4, h=720, w=1280, iters=10):
+        calls.append(b)
+        if b == 16:
+            raise RuntimeError("RESOURCE_EXHAUSTED")  # simulated chip OOM
+        return {4: 10.0, 8: 15.0}[b]
+
+    monkeypatch.setattr(bench, "_measure", fake)
+    assert bench.main() == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert calls == [4, 8, 16]
+    assert out["value"] == 15.0
+    assert "_b8_" in out["metric"]
+    assert out["vs_baseline"] == round(15.0 / bench.CPU_BASELINE_FPS, 2)
+
+    # no-gain rung: b8 within 2% of b4 -> stop early, keep b4
+    calls.clear()
+
+    def flat(kwargs, b=4, h=720, w=1280, iters=10):
+        calls.append(b)
+        return {4: 10.0, 8: 10.1}[b]
+
+    monkeypatch.setattr(bench, "_measure", flat)
+    assert bench.main() == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert calls == [4, 8]
+    assert out["value"] == 10.0 and "_b4_" in out["metric"]
