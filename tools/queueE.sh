@@ -22,7 +22,11 @@ LOG=runs/queueE/queueE.log
 exec >>"$LOG" 2>&1
 echo "=== queueE start $(date -u +%FT%TZ) ==="
 
-QFLAGS=(--batch_size 8 --random_rotation false --consistent_jitter true
+# batch 4 + remat, NOT the q2 recipe's batch 8: flow-prior training at
+# batch 8 OOMs the 15.75G chip at ~26G via the DCN backward's 128-lane
+# padding (docs/PERFORMANCE.md "Flow-prior training memory").
+QFLAGS=(--batch_size 4 --remat true --random_rotation false
+        --consistent_jitter true
         --target_unit_range true --best_metric val_psnr
         --dcn_max_offset 2 --warp_max_flow 16 --use_pallas true
         --ema_decay 0.998 --flow_prior true
