@@ -54,7 +54,7 @@ fi
 # --- step 2: full q5 fine-tune ------------------------------------------
 if [ ! -f runs/queueE/q5.done ]; then
   python train.py --config config/train_config.yaml \
-    "${QFLAGS[@]}" --num-epochs 200 \
+    "${QFLAGS[@]}" --num-epochs 140 \
     --init_model_path "$INIT" --init_flow_path "$INITF" \
     --checkpoint_path runs/q5/ckpt --best_model_path runs/q5/best \
     && touch runs/queueE/q5.done
