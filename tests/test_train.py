@@ -476,3 +476,65 @@ def test_trainer_best_metric_psnr(tmp_path, rng):
     cfg3 = dataclasses.replace(cfg, best_metric="ssim")
     with pytest.raises(ValueError, match="best_metric"):
         Trainer(cfg3)
+
+
+def test_grad_accumulation_matches_monolithic(rng):
+    """accum_steps=2 over batch 4 must produce the same update as the
+    monolithic batch-4 step (identical params in, near-identical params
+    out) — including the flow-prior joint tree, the configuration the
+    feature exists for (docs/PERFORMANCE.md 'Flow-prior training memory')."""
+    from vfi_tpu.models.flownet import SimpleFlowNet
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    flow = SimpleFlowNet(mid_channels=8, levels=2)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    mp = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    fp = jax.jit(flow.init)(jax.random.PRNGKey(1), x, x)
+    params = {"model": mp, "flow": fp}
+    weights = LossWeights(charbonnier=1.0, vgg=0.0, color=0.3,
+                          gradient=0.1, temporal=0.2)
+
+    f0 = jnp.asarray(rng.uniform(0, 1, (4, 16, 16, 3)).astype(np.float32))
+    f1 = jnp.asarray(rng.uniform(0, 1, (4, 16, 16, 3)).astype(np.float32))
+    ft = (f0 + f1) / 2
+
+    outs = {}
+    for accum in (1, 2):
+        step = jax.jit(make_train_step(model, None, 0, weights,
+                                       flow_module=flow, flow_prior=True,
+                                       accum_steps=accum))
+        state = create_train_state(jax.tree.map(jnp.copy, params), 1e-3)
+        state, metrics = step(state, None, f0, ft, f1)
+        outs[accum] = (state.params, metrics)
+
+    p1, m1 = outs[1]
+    p2, m2 = outs[2]
+    # losses/terms are means over the same samples; summation order differs
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-5)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=5e-4,
+                                   err_msg=k)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+
+def test_trainer_accum_steps_validation(tmp_path):
+    """batch_size must split evenly into accum_steps x data-axis
+    microbatches; misconfiguration fails loudly at construction."""
+    import dataclasses
+
+    from vfi_tpu.train.loop import Trainer
+    from vfi_tpu.utils.config import MeshConfig, TrainConfig
+
+    cfg = TrainConfig(
+        batch_size=4, num_epochs=1,
+        train_data_dir=str(tmp_path), val_data_dir=str(tmp_path),
+        vgg_weight=0.0, temporal_weight=0.0,
+        mid_channels=8, num_blocks=1, bf16=False,
+        mesh=MeshConfig(data=1, spatial=1),
+        accum_steps=3)
+    with pytest.raises(ValueError, match="accum_steps"):
+        Trainer(cfg)
+    with pytest.raises(ValueError, match="accum_steps"):
+        Trainer(dataclasses.replace(cfg, accum_steps=0))

@@ -59,7 +59,8 @@ def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
                     remat: bool = False, flow_module=None,
                     target_unit_range: bool = False,
                     flow_prior: bool = False,
-                    flow_prior_scale: float = 0.5):
+                    flow_prior_scale: float = 0.5,
+                    accum_steps: int = 1):
     """Build the jit-able train step: (state, vgg_params, f0, ft, f1) ->
     (state, metrics). vgg_params passed explicitly so its sharding is
     controlled by the caller (not baked in as jit constants). `remat`
@@ -124,8 +125,40 @@ def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
         return tot, terms
 
     def train_step(state: TrainState, vgg_params, f0, ft, f1):
-        (tot, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, vgg_params, f0, ft, f1)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if accum_steps <= 1:
+            (tot, terms), grads = grad_fn(state.params, vgg_params, f0, ft, f1)
+        else:
+            # Gradient accumulation: lax.scan over accum_steps microbatches.
+            # Activations live one microbatch at a time (scan reuses the
+            # buffer); only the param-sized grad accumulator persists — the
+            # path past the DCN-backward activation wall
+            # (docs/PERFORMANCE.md "Flow-prior training memory").
+            def split(x):
+                return x.reshape((accum_steps, x.shape[0] // accum_steps)
+                                 + x.shape[1:])
+
+            xs = (split(f0), split(ft), split(f1))
+            terms_shape = jax.eval_shape(
+                lambda: loss_fn(state.params, vgg_params,
+                                *(x[0] for x in xs))[1])
+            zero = ((jnp.zeros(()),
+                     jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                  terms_shape)),
+                    jax.tree.map(jnp.zeros_like, state.params))
+
+            def body(carry, mb):
+                (tot_a, terms_a), grads_a = carry
+                (tot, terms), grads = grad_fn(state.params, vgg_params, *mb)
+                return ((tot_a + tot,
+                         jax.tree.map(jnp.add, terms_a, terms)),
+                        jax.tree.map(jnp.add, grads_a, grads)), None
+
+            ((tot, terms), grads), _ = jax.lax.scan(body, zero, xs)
+            inv = 1.0 / accum_steps
+            tot = tot * inv
+            terms = jax.tree.map(lambda t: t * inv, terms)
+            grads = jax.tree.map(lambda g: g * inv, grads)
         state = state.apply_gradients(grads)
         metrics = {"loss": tot, **terms,
                    "grad_norm": jnp.sqrt(sum(jnp.sum(g * g) for g in jax.tree.leaves(grads)))}
@@ -187,6 +220,15 @@ class Trainer:
                 f"'data' mesh axis ({self.mesh.shape['data']}); set "
                 f"mesh.data explicitly (e.g. --mesh.data "
                 f"{max(1, cfg.batch_size)}) or raise batch_size")
+        if cfg.accum_steps < 1:
+            raise ValueError(f"accum_steps must be >= 1, got {cfg.accum_steps}")
+        if cfg.accum_steps > 1 and (
+                cfg.batch_size % (cfg.accum_steps * self.mesh.shape["data"])):
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must be divisible by "
+                f"accum_steps * data-axis "
+                f"({cfg.accum_steps} * {self.mesh.shape['data']}) so each "
+                "microbatch still shards evenly over the mesh")
         dtype = jnp.bfloat16 if cfg.bf16 else None
         self.model = EMAVFI(in_channels=cfg.in_channels,
                             mid_channels=cfg.mid_channels,
@@ -321,7 +363,8 @@ class Trainer:
                                     flow_module=self.flow_module,
                                     target_unit_range=cfg.target_unit_range,
                                     flow_prior=cfg.flow_prior,
-                                    flow_prior_scale=cfg.flow_prior_scale)
+                                    flow_prior_scale=cfg.flow_prior_scale,
+                                    accum_steps=cfg.accum_steps)
         self.train_step = jax.jit(
             raw_train,
             in_shardings=(rep, rep, bsh, bsh, bsh),

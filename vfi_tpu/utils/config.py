@@ -159,6 +159,14 @@ class TrainConfig:
     mesh: MeshConfig = field(default_factory=MeshConfig)
     bf16: bool = True              # bfloat16 activation compute
     remat: bool = False            # rematerialize fwd in backprop (save HBM)
+    # Gradient accumulation: split each batch into accum_steps sequential
+    # microbatches inside the jit'd step (lax.scan), average the grads, and
+    # apply ONE optimizer update. Trains an effective batch of batch_size
+    # with the activation memory of batch_size/accum_steps — e.g. flow-prior
+    # mode at effective batch 8 despite the DCN-backward padding wall that
+    # OOMs a monolithic batch-8 step (docs/PERFORMANCE.md "Flow-prior
+    # training memory").
+    accum_steps: int = 1
     seed: int = 0
     log_every: int = 10
     profile_dir: Optional[str] = None  # jax.profiler trace output
