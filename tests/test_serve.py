@@ -229,3 +229,43 @@ def test_http_health_and_errors(served_model):
     status, body = _post(base + "/v1/interpolate",
                          encode_pair_body(_png(a), _png(b)))
     assert status == 400 and b"differ" in body
+
+
+def test_raw_body_roundtrip(rng):
+    from vfi_tpu.serve import encode_raw_body, split_raw_body
+
+    a = rng.integers(0, 255, (6, 9, 3)).astype(np.uint8)
+    b = rng.integers(0, 255, (6, 9, 3)).astype(np.uint8)
+    f0, f1 = split_raw_body(encode_raw_body(a, b))
+    np.testing.assert_allclose(f0, a.astype(np.float32) / 255.0)
+    np.testing.assert_allclose(f1, b.astype(np.float32) / 255.0)
+    with pytest.raises(ValueError, match="raw body"):
+        split_raw_body(encode_raw_body(a, b)[:-1])
+    with pytest.raises(ValueError, match="equal"):
+        encode_raw_body(a, a[:4])
+
+
+def test_http_raw_protocol_matches_png(served_model, rng):
+    """The zero-codec raw-RGB route returns byte-identical midpoints to the
+    PNG route (same engine, same float->u8 quantization)."""
+    from vfi_tpu.serve import RAW_CONTENT_TYPE, encode_raw_body
+
+    server, engine = served_model
+    url = f"http://127.0.0.1:{server.port}/v1/interpolate"
+    a = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    b = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+
+    status, raw = _post(url, encode_raw_body(a, b), ctype=RAW_CONTENT_TYPE)
+    assert status == 200
+    got_raw = np.frombuffer(raw, np.uint8).reshape(16, 16, 3)
+
+    from PIL import Image
+
+    status, png = _post(url, encode_pair_body(_png(a), _png(b)))
+    assert status == 200
+    got_png = np.asarray(Image.open(io.BytesIO(png)))
+    np.testing.assert_array_equal(got_raw, got_png)
+
+    # malformed raw body -> 400, not a server error
+    status, body = _post(url, b"\x00\x01\x00\x01junk", ctype=RAW_CONTENT_TYPE)
+    assert status == 400 and b"raw body" in body

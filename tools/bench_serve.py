@@ -29,38 +29,41 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from vfi_tpu.serve import encode_pair_body  # noqa: E402
+from vfi_tpu.serve import RAW_CONTENT_TYPE, encode_pair_body, encode_raw_body  # noqa: E402
 
 DATA = "/root/reference/data/processed/train/RubberWhale"
 
 
-def _load_pair(h: int, w: int) -> bytes:
+def _load_pair(h: int, w: int, raw: bool = False) -> bytes:
     from PIL import Image
 
-    def png(path):
-        with Image.open(path) as im:
-            im = im.convert("RGB").resize((w, h), Image.BILINEAR)
+    def frames():
+        if os.path.isdir(DATA):
+            out = []
+            for name in ("frame10.png", "frame11.png"):
+                with Image.open(os.path.join(DATA, name)) as im:
+                    out.append(np.asarray(
+                        im.convert("RGB").resize((w, h), Image.BILINEAR),
+                        np.uint8))
+            return out
+        rng = np.random.default_rng(0)
+        return [rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+                for _ in range(2)]
+
+    a, b = frames()
+    if raw:
+        return encode_raw_body(a, b)
+
+    def png(arr):
         buf = io.BytesIO()
-        im.save(buf, format="PNG")
+        Image.fromarray(arr).save(buf, format="PNG")
         return buf.getvalue()
 
-    if os.path.isdir(DATA):
-        return encode_pair_body(png(os.path.join(DATA, "frame10.png")),
-                                png(os.path.join(DATA, "frame11.png")))
-    rng = np.random.default_rng(0)
-    from PIL import Image
-
-    def rand_png():
-        buf = io.BytesIO()
-        Image.fromarray(rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
-                        ).save(buf, format="PNG")
-        return buf.getvalue()
-
-    return encode_pair_body(rand_png(), rand_png())
+    return encode_pair_body(png(a), png(b))
 
 
 def run_load(url: str, body: bytes, clients: int, total: int,
-             timeout: float) -> dict:
+             timeout: float, raw: bool = False) -> dict:
     latencies: list[float] = []
     errors = [0]
     lock = threading.Lock()
@@ -75,7 +78,8 @@ def run_load(url: str, body: bytes, clients: int, total: int,
             try:
                 req = urllib.request.Request(
                     url + "/v1/interpolate", data=body,
-                    headers={"Content-Type": "application/octet-stream"})
+                    headers={"Content-Type": RAW_CONTENT_TYPE if raw
+                             else "application/octet-stream"})
                 with urllib.request.urlopen(req, timeout=timeout) as r:
                     r.read()
                     ok = r.status == 200
@@ -134,12 +138,15 @@ def main(argv=None) -> int:
     parser.add_argument("--max_delay_ms", type=float, default=5.0)
     parser.add_argument("--timeout", type=float, default=600.0)
     parser.add_argument("--use_pallas", action="store_true")
+    parser.add_argument("--raw", action="store_true",
+                        help="use the zero-codec raw-RGB protocol "
+                             "(application/x-vfi-raw) instead of PNG")
     parser.add_argument("--dcn_max_offset", type=int, default=None)
     parser.add_argument("--warp_max_flow", type=int, default=None)
     args = parser.parse_args(argv)
 
     h, w = (int(v) for v in args.size.lower().split("x"))
-    body = _load_pair(h, w)
+    body = _load_pair(h, w, raw=args.raw)
 
     server = None
     url = args.url
@@ -159,8 +166,10 @@ def main(argv=None) -> int:
         server.warmup([(h, w)])
         url = f"http://127.0.0.1:{server.port}"
 
-    result = run_load(url, body, args.clients, args.requests, args.timeout)
+    result = run_load(url, body, args.clients, args.requests, args.timeout,
+                      raw=args.raw)
     result["size"] = f"{h}x{w}"
+    result["protocol"] = "raw" if args.raw else "png"
     print(json.dumps(result))
     if server is not None:
         server.shutdown()

@@ -23,22 +23,43 @@ echo "=== queueH waiting for queueG $(date -u +%FT%TZ) ==="
 while [ ! -f runs/queueG/COMPLETE ]; do sleep 120; done
 echo "=== queueH start $(date -u +%FT%TZ) ==="
 
-# Pick the warm start: q5b if its eval beat q5's 25.81, else q5.
-INIT=artifacts/emavfi_q5_best.npz; INITF=artifacts/emavfi_q5_best.flow.npz
-if [ -f runs/queueF/q5b_eval.json ]; then
-  if python - <<'EOF'
-import json, sys
-q5 = json.load(open("artifacts/q5_eval.json"))["mean_psnr"]
-q5b = json.load(open("runs/queueF/q5b_eval.json"))["mean_psnr"]
-sys.exit(0 if q5b > q5 else 1)
-EOF
-  then INIT=runs/q5b/best.npz; INITF=runs/q5b/best.flow.npz; fi
-fi
-# a watcher-secured wip from a previous attempt trumps both
+# Warm start: q5b (promoted flagship, 25.90 dB); a watcher-secured wip
+# from a previous q6 attempt trumps it after a VM restart.
+INIT=artifacts/emavfi_q5b_best.npz; INITF=artifacts/emavfi_q5b_best.flow.npz
 if [ -f artifacts/emavfi_q6_wip.npz ]; then
   INIT=artifacts/emavfi_q6_wip.npz; INITF=artifacts/emavfi_q6_wip.flow.npz
 fi
 echo "q6 warm start: $INIT"
+
+# --- step 0a: TTA eval of the new q5b flagship ----------------------------
+if [ ! -f runs/queueH/q5btta.done ]; then
+  timeout 7200 python eval.py --data-dir data/processed/val \
+    --model_path artifacts/emavfi_q5b_best.npz \
+    --flow_model artifacts/emavfi_q5b_best.flow.npz --flow_prior \
+    --dcn_max_offset 2 --warp_max_flow 16 --use_pallas --tta --json \
+    > runs/queueH/q5b_tta_eval.json && touch runs/queueH/q5btta.done
+  echo "q5b TTA eval:"; cat runs/queueH/q5b_tta_eval.json
+fi
+
+# --- step 0b: serve re-bench after the codec fixes ------------------------
+# (raw zero-codec protocol + response PNG at compress level 1; the first
+# 720p bench was host-PNG-bound: 0.635 req/s, p50 21.6 s)
+if [ ! -f runs/queueH/serveraw.done ]; then
+  timeout 3600 python tools/bench_serve.py --inprocess \
+    --model_path artifacts/emavfi_q2_best.npz \
+    --size 720x1280 --clients 16 --requests 64 --max_batch 8 \
+    --dcn_max_offset 2 --warp_max_flow 16 --use_pallas --raw \
+    > runs/queueH/serve_720p_raw.json && touch runs/queueH/serveraw.done
+  echo "serve 720p raw:"; cat runs/queueH/serve_720p_raw.json
+fi
+if [ ! -f runs/queueH/servepng1.done ]; then
+  timeout 3600 python tools/bench_serve.py --inprocess \
+    --model_path artifacts/emavfi_q2_best.npz \
+    --size 720x1280 --clients 16 --requests 64 --max_batch 8 \
+    --dcn_max_offset 2 --warp_max_flow 16 --use_pallas \
+    > runs/queueH/serve_720p_png1.json && touch runs/queueH/servepng1.done
+  echo "serve 720p png(level1):"; cat runs/queueH/serve_720p_png1.json
+fi
 
 QFLAGS=(--batch_size 8 --accum_steps 2 --remat true --random_rotation false
         --consistent_jitter true

@@ -40,6 +40,11 @@ def main(argv=None) -> int:
     parser.add_argument("--flow_mid_channels", type=int, default=32)
     parser.add_argument("--flow_levels", type=int, default=3)
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--png_compress_level", type=int, default=1,
+                        help="zlib level for response PNGs (0-9; default 1 "
+                             "— level 6 dominated serving latency on a "
+                             "1-core host). Raw-RGB requests skip the "
+                             "codec entirely.")
     args = parser.parse_args(argv)
 
     from vfi_tpu.cli.common import load_model_params, setup
@@ -68,7 +73,8 @@ def main(argv=None) -> int:
                                  max_delay_ms=args.max_delay_ms,
                                  pad_to_max=not args.no_pad_to_max,
                                  request_timeout=args.request_timeout,
-                                 verbose=args.verbose)
+                                 verbose=args.verbose,
+                                 png_compress_level=args.png_compress_level)
     if args.warmup:
         for spec in args.warmup.split(","):
             h, w = (int(v) for v in spec.lower().split("x"))

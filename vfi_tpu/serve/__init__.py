@@ -6,8 +6,10 @@ design notes (static-shape buckets, pad-to-max launches, deadline-bounded
 coalescing)."""
 
 from vfi_tpu.serve.batcher import BatcherStats, MicroBatcher
-from vfi_tpu.serve.server import (InterpolationServer, encode_pair_body,
-                                  split_pair_body)
+from vfi_tpu.serve.server import (RAW_CONTENT_TYPE, InterpolationServer,
+                                  encode_pair_body, encode_raw_body,
+                                  split_pair_body, split_raw_body)
 
 __all__ = ["BatcherStats", "MicroBatcher", "InterpolationServer",
-           "encode_pair_body", "split_pair_body"]
+           "RAW_CONTENT_TYPE", "encode_pair_body", "encode_raw_body",
+           "split_pair_body", "split_raw_body"]

@@ -11,12 +11,20 @@ Protocol
 --------
 POST /v1/interpolate   body = u32_be(len(png0)) | png0 | png1
                        -> 200, image/png (the temporal midpoint)
+POST /v1/interpolate   Content-Type: application/x-vfi-raw
+                       body = u16_be(h) | u16_be(w) | rgb0 | rgb1
+                       (two tightly packed u8 H*W*3 RGB frames)
+                       -> 200, application/x-vfi-raw (u8 H*W*3 midpoint)
 GET  /healthz          -> 200 JSON {status, devices, platform, buckets}
 GET  /stats            -> 200 JSON batching statistics (see BatcherStats)
 
-Frames are 8-bit RGB PNGs of identical dimensions. Decode prefers the
-native C++ decoder (vfi_tpu.native), falling back to PIL; the response PNG
-is encoded with PIL.
+Frames are 8-bit RGB of identical dimensions. The PNG route decodes with
+the native C++ decoder (vfi_tpu.native), falling back to PIL, and encodes
+the response with PIL at `png_compress_level` (default 1: the serving
+host's single-threaded zlib at level 6 dominated end-to-end latency on a
+720p load test — see docs/PERFORMANCE.md "Serving"). The raw route skips
+the image codec entirely — the right wire format when the caller already
+holds decoded frames (e.g. a video pipeline feeding the TPU server).
 """
 
 from __future__ import annotations
@@ -47,14 +55,44 @@ def _decode_png(data: bytes) -> np.ndarray:
     return img.astype(np.float32) / 255.0
 
 
-def _encode_png(frame: np.ndarray) -> bytes:
+def _encode_png(frame: np.ndarray, compress_level: int = 1) -> bytes:
     """(H, W, 3) float [0, 1] -> PNG bytes."""
     from PIL import Image
 
     u8 = np.clip(np.asarray(frame, np.float32) * 255.0 + 0.5, 0, 255)
     buf = io.BytesIO()
-    Image.fromarray(u8.astype(np.uint8)).save(buf, format="PNG")
+    Image.fromarray(u8.astype(np.uint8)).save(buf, format="PNG",
+                                              compress_level=compress_level)
     return buf.getvalue()
+
+
+RAW_CONTENT_TYPE = "application/x-vfi-raw"
+
+
+def encode_raw_body(f0: np.ndarray, f1: np.ndarray) -> bytes:
+    """Client-side helper: (H, W, 3) u8 RGB pair -> raw request body."""
+    if f0.shape != f1.shape or f0.ndim != 3 or f0.shape[2] != 3:
+        raise ValueError(f"need two equal (H, W, 3) frames, got "
+                         f"{f0.shape} vs {f1.shape}")
+    h, w = f0.shape[:2]
+    return (struct.pack(">HH", h, w)
+            + np.ascontiguousarray(f0, np.uint8).tobytes()
+            + np.ascontiguousarray(f1, np.uint8).tobytes())
+
+
+def split_raw_body(body: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Parse a raw request body -> two (H, W, 3) float32 [0,1] frames."""
+    if len(body) < 4:
+        raise ValueError("raw body shorter than the 4-byte dims prefix")
+    h, w = struct.unpack(">HH", body[:4])
+    n = h * w * 3
+    if len(body) != 4 + 2 * n:
+        raise ValueError(f"raw body is {len(body)} bytes, expected "
+                         f"4 + 2*{n} for {h}x{w}")
+    def frame(off):
+        a = np.frombuffer(body, np.uint8, count=n, offset=off)
+        return a.reshape(h, w, 3).astype(np.float32) / 255.0
+    return frame(4), frame(4 + n)
 
 
 def split_pair_body(body: bytes) -> tuple[bytes, bytes]:
@@ -103,12 +141,17 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path.split("?")[0] != "/v1/interpolate":
             self._reply_json(404, {"error": f"unknown path {self.path}"})
             return
+        raw = self.headers.get("Content-Type", "") == RAW_CONTENT_TYPE
         try:
             length = int(self.headers.get("Content-Length", "0"))
             if not 0 < length <= MAX_BODY_BYTES:
                 raise ValueError(f"bad Content-Length {length}")
-            png0, png1 = split_pair_body(self.rfile.read(length))
-            f0, f1 = _decode_png(png0), _decode_png(png1)
+            body = self.rfile.read(length)
+            if raw:
+                f0, f1 = split_raw_body(body)
+            else:
+                png0, png1 = split_pair_body(body)
+                f0, f1 = _decode_png(png0), _decode_png(png1)
             if f0.shape != f1.shape:
                 raise ValueError(f"frame shapes differ: {f0.shape} vs {f1.shape}")
         except Exception as e:  # noqa: BLE001 - malformed request
@@ -120,7 +163,13 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # noqa: BLE001 - engine/timeout failure
             self._reply_json(500, {"error": str(e)})
             return
-        self._reply(200, _encode_png(mid), "image/png")
+        if raw:
+            u8 = np.clip(np.asarray(mid, np.float32) * 255.0 + 0.5,
+                         0, 255).astype(np.uint8)
+            self._reply(200, u8.tobytes(), RAW_CONTENT_TYPE)
+        else:
+            self._reply(200, _encode_png(mid, self.vfi.png_compress_level),
+                        "image/png")
 
 
 class InterpolationServer:
@@ -136,12 +185,13 @@ class InterpolationServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
                  max_batch: int = 8, max_delay_ms: float = 5.0,
                  pad_to_max: bool = True, request_timeout: float = 120.0,
-                 verbose: bool = False):
+                 verbose: bool = False, png_compress_level: int = 1):
         self.batcher = MicroBatcher(engine, max_batch=max_batch,
                                     max_delay_ms=max_delay_ms,
                                     pad_to_max=pad_to_max)
         self.request_timeout = request_timeout
         self.verbose = verbose
+        self.png_compress_level = png_compress_level
         handler = type("BoundHandler", (_Handler,), {"vfi": self})
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._thread: threading.Thread | None = None
