@@ -237,12 +237,47 @@ def test_raw_body_roundtrip(rng):
     a = rng.integers(0, 255, (6, 9, 3)).astype(np.uint8)
     b = rng.integers(0, 255, (6, 9, 3)).astype(np.uint8)
     f0, f1 = split_raw_body(encode_raw_body(a, b))
-    np.testing.assert_allclose(f0, a.astype(np.float32) / 255.0)
-    np.testing.assert_allclose(f1, b.astype(np.float32) / 255.0)
+    np.testing.assert_array_equal(f0, a)
+    np.testing.assert_array_equal(f1, b)
     with pytest.raises(ValueError, match="raw body"):
         split_raw_body(encode_raw_body(a, b)[:-1])
     with pytest.raises(ValueError, match="equal"):
         encode_raw_body(a, a[:4])
+
+
+def test_io_uint8_engine_matches_float(rng):
+    """io_uint8 engine == float engine + host-side u8 quantization, and the
+    batcher's dtype coercion keeps both input conventions working."""
+    from vfi_tpu.infer.pair import FrameInterpolator
+    from vfi_tpu.models import EMAVFI
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    kw = dict(mid_channels=8, num_blocks=1, bf16=False)
+    eng_f = FrameInterpolator(params, **kw)
+    eng_u = FrameInterpolator(params, io_uint8=True, **kw)
+    assert eng_u.io_dtype == np.uint8
+
+    a = rng.integers(0, 255, (2, 16, 16, 3)).astype(np.uint8)
+    b = rng.integers(0, 255, (2, 16, 16, 3)).astype(np.uint8)
+    got_u8 = np.asarray(eng_u.midpoints(a, b))
+    assert got_u8.dtype == np.uint8
+    ref = np.asarray(eng_f.midpoints(a.astype(np.float32) / 255.0,
+                                     b.astype(np.float32) / 255.0))
+    want = np.clip(ref * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    # one f32 rounding step happens on device instead of host; allow 1 ulp
+    assert np.abs(got_u8.astype(int) - want.astype(int)).max() <= 1
+
+    # batcher coercion: float [0,1] submissions reach a u8 engine losslessly
+    mb = MicroBatcher(eng_u, max_batch=2, max_delay_ms=1.0)
+    try:
+        out = mb.interpolate(a[0].astype(np.float32) / 255.0,
+                             b[0].astype(np.float32) / 255.0, timeout=60)
+        assert out.dtype == np.uint8
+        np.testing.assert_array_equal(out, got_u8[0])
+    finally:
+        mb.close()
 
 
 def test_http_raw_protocol_matches_png(served_model, rng):

@@ -141,6 +141,9 @@ def main(argv=None) -> int:
     parser.add_argument("--raw", action="store_true",
                         help="use the zero-codec raw-RGB protocol "
                              "(application/x-vfi-raw) instead of PNG")
+    parser.add_argument("--f32_transfer", action="store_true",
+                        help="in-process engine ships float32 to the device "
+                             "instead of the default uint8")
     parser.add_argument("--dcn_max_offset", type=int, default=None)
     parser.add_argument("--warp_max_flow", type=int, default=None)
     args = parser.parse_args(argv)
@@ -159,7 +162,8 @@ def main(argv=None) -> int:
         engine = FrameInterpolator(load_model_params(args.model_path),
                                    dcn_max_offset=args.dcn_max_offset,
                                    warp_max_flow=args.warp_max_flow,
-                                   use_pallas=args.use_pallas)
+                                   use_pallas=args.use_pallas,
+                                   io_uint8=not args.f32_transfer)
         server = InterpolationServer(engine, port=0,
                                      max_batch=args.max_batch,
                                      max_delay_ms=args.max_delay_ms).start()

@@ -40,6 +40,10 @@ def main(argv=None) -> int:
     parser.add_argument("--flow_mid_channels", type=int, default=32)
     parser.add_argument("--flow_levels", type=int, default=3)
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--f32_transfer", action="store_true",
+                        help="ship float32 frames to the device instead of "
+                             "the default uint8 on-device conversion "
+                             "(io_uint8 quarters host<->device bytes)")
     parser.add_argument("--png_compress_level", type=int, default=1,
                         help="zlib level for response PNGs (0-9; default 1 "
                              "— level 6 dominated serving latency on a "
@@ -67,7 +71,8 @@ def main(argv=None) -> int:
                                flow_params=flow_params,
                                flow_prior_scale=args.flow_prior_scale,
                                flow_mid_channels=args.flow_mid_channels,
-                               flow_levels=args.flow_levels)
+                               flow_levels=args.flow_levels,
+                               io_uint8=not args.f32_transfer)
     server = InterpolationServer(engine, host=args.host, port=args.port,
                                  max_batch=args.max_batch,
                                  max_delay_ms=args.max_delay_ms,

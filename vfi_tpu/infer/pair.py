@@ -72,7 +72,8 @@ class FrameInterpolator:
                  flow_prior_scale: float = 0.5,
                  flow_mid_channels: int = 32,
                  flow_levels: int = 3,
-                 tta: bool = False):
+                 tta: bool = False,
+                 io_uint8: bool = False):
         """`spatial=True` additionally shards frame height over the mesh's
         'spatial' axis (single-clip 1080p/4K mode; XLA inserts the conv/
         shift halo exchanges — see tests/test_parallel.py).
@@ -92,12 +93,23 @@ class FrameInterpolator:
         compute for a fraction-of-a-dB PSNR gain; an inference-time quality
         lever the reference does not have. Composes with flow_prior (the
         prior net sees the transformed pair, so its flow is consistent) and
-        with DP batch sharding; not with manual `spatial` sharding."""
+        with DP batch sharding; not with manual `spatial` sharding.
+
+        `io_uint8=True` moves the u8<->float conversion onto the device:
+        `midpoints` then takes and returns uint8 [0,255] frames, quartering
+        host<->device transfer bytes (the dominant per-request cost through
+        a relay-attached TPU — docs/PERFORMANCE.md "Serving"). Numerically
+        identical to host-side conversion for u8-sourced frames (PNG/video
+        decode), which is every serving input."""
         from vfi_tpu.utils.convert import infer_model_dims
 
         if flow_params is not None and spatial:
             raise ValueError("flow-prior inference is not supported with "
                              "spatial sharding (global pyramid flow)")
+        if io_uint8 and spatial:
+            raise ValueError("io_uint8 is not supported with spatial "
+                             "sharding (the halo pipeline is float-typed)")
+        self.io_dtype = np.uint8 if io_uint8 else np.float32
         dims = infer_model_dims(params)
         self.model = EMAVFI(
             in_channels=in_channels if in_channels is not None else dims["in_channels"],
@@ -165,6 +177,17 @@ class FrameInterpolator:
         else:
             fwd = single
 
+        if io_uint8:
+            # u8 in, u8 out: both conversions live inside the jit graph so
+            # the wire/relay only ever carries one byte per channel.
+            inner_fwd = fwd
+
+            def fwd(p, f0, f1):
+                out = inner_fwd(p, f0.astype(jnp.float32) / 255.0,
+                                f1.astype(jnp.float32) / 255.0)
+                return jnp.clip(out.astype(jnp.float32) * 255.0 + 0.5,
+                                0.0, 255.0).astype(jnp.uint8)
+
         n_data = self.mesh.shape["data"]
         self._spatial_manual = bool(
             spatial and use_pallas and self.mesh.shape["spatial"] > 1)
@@ -207,8 +230,9 @@ class FrameInterpolator:
         Batches not divisible by the 'data' mesh axis are padded (replicating
         the last pair) and sliced back — shardings stay static under jit.
 
-        Args: f0, f1: (B, H, W, 3) float32 in [0, 1].
-        Returns: (B, H, W, 3) in [0, 1] (device array).
+        Args: f0, f1: (B, H, W, 3) in the engine's io dtype — float32 [0, 1]
+          by default, uint8 [0, 255] with `io_uint8=True`.
+        Returns: (B, H, W, 3) device array in the same convention.
         """
         b = f0.shape[0]
         d = self.mesh.shape["data"]

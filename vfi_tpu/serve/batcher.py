@@ -90,6 +90,9 @@ class MicroBatcher:
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.engine = engine
+        # engines advertising io_dtype=uint8 (FrameInterpolator io_uint8)
+        # take/return u8 [0,255]; the batcher converts submissions to match
+        self.io_dtype = np.dtype(getattr(engine, "io_dtype", np.float32))
         self.max_batch = int(max_batch)
         self.max_delay = float(max_delay_ms) / 1e3
         self.pad_to_max = bool(pad_to_max)
@@ -103,10 +106,23 @@ class MicroBatcher:
 
     # -- client side ------------------------------------------------------
 
+    def _coerce(self, f: np.ndarray) -> np.ndarray:
+        """Convert a [0,1] float or [0,255] u8 frame to the engine dtype."""
+        f = np.asarray(f)
+        if f.dtype == self.io_dtype:
+            return f
+        if self.io_dtype == np.uint8:  # float [0,1] -> u8
+            return np.clip(np.asarray(f, np.float32) * 255.0 + 0.5,
+                           0, 255).astype(np.uint8)
+        if f.dtype == np.uint8:        # u8 -> float [0,1]
+            return f.astype(np.float32) / 255.0
+        return np.asarray(f, np.float32)
+
     def submit(self, f0: np.ndarray, f1: np.ndarray) -> Future:
-        """Enqueue one pair; resolves to the (H, W, 3) float32 midpoint."""
-        f0 = np.asarray(f0, np.float32)
-        f1 = np.asarray(f1, np.float32)
+        """Enqueue one pair; resolves to the (H, W, 3) midpoint in the
+        engine's io dtype (float32 [0,1] or uint8 [0,255])."""
+        f0 = self._coerce(f0)
+        f1 = self._coerce(f1)
         if f0.ndim != 3 or f0.shape[-1] != 3 or f0.shape != f1.shape:
             raise ValueError(
                 f"expected two (H, W, 3) frames of one shape, got "
@@ -193,5 +209,5 @@ class MicroBatcher:
     def warmup(self, height: int, width: int):
         """Compile a bucket's executable ahead of traffic (one full-size
         launch of zeros; with pad_to_max this is THE steady-state shape)."""
-        z = np.zeros((self.max_batch, height, width, 3), np.float32)
+        z = np.zeros((self.max_batch, height, width, 3), self.io_dtype)
         np.asarray(self.engine.midpoints(z, z))

@@ -43,7 +43,8 @@ MAX_BODY_BYTES = 256 << 20  # two 4K RGBA PNGs fit with a wide margin
 
 
 def _decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> (H, W, 3) float32 RGB in [0, 1]."""
+    """PNG bytes -> (H, W, 3) uint8 RGB (the batcher converts to the
+    engine's io dtype; u8 engines take it as-is, zero host float work)."""
     from vfi_tpu import native
 
     img = native.decode_png_rgb(data)
@@ -52,17 +53,25 @@ def _decode_png(data: bytes) -> np.ndarray:
 
         with Image.open(io.BytesIO(data)) as im:
             img = np.asarray(im.convert("RGB"), np.uint8)
-    return img.astype(np.float32) / 255.0
+    return img
+
+
+def _to_u8(frame: np.ndarray) -> np.ndarray:
+    """(H, W, 3) float [0, 1] or uint8 -> uint8."""
+    frame = np.asarray(frame)
+    if frame.dtype == np.uint8:
+        return frame
+    return np.clip(np.asarray(frame, np.float32) * 255.0 + 0.5,
+                   0, 255).astype(np.uint8)
 
 
 def _encode_png(frame: np.ndarray, compress_level: int = 1) -> bytes:
-    """(H, W, 3) float [0, 1] -> PNG bytes."""
+    """(H, W, 3) float [0, 1] or uint8 -> PNG bytes."""
     from PIL import Image
 
-    u8 = np.clip(np.asarray(frame, np.float32) * 255.0 + 0.5, 0, 255)
     buf = io.BytesIO()
-    Image.fromarray(u8.astype(np.uint8)).save(buf, format="PNG",
-                                              compress_level=compress_level)
+    Image.fromarray(_to_u8(frame)).save(buf, format="PNG",
+                                        compress_level=compress_level)
     return buf.getvalue()
 
 
@@ -81,7 +90,7 @@ def encode_raw_body(f0: np.ndarray, f1: np.ndarray) -> bytes:
 
 
 def split_raw_body(body: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Parse a raw request body -> two (H, W, 3) float32 [0,1] frames."""
+    """Parse a raw request body -> two (H, W, 3) uint8 frames."""
     if len(body) < 4:
         raise ValueError("raw body shorter than the 4-byte dims prefix")
     h, w = struct.unpack(">HH", body[:4])
@@ -90,8 +99,8 @@ def split_raw_body(body: bytes) -> tuple[np.ndarray, np.ndarray]:
         raise ValueError(f"raw body is {len(body)} bytes, expected "
                          f"4 + 2*{n} for {h}x{w}")
     def frame(off):
-        a = np.frombuffer(body, np.uint8, count=n, offset=off)
-        return a.reshape(h, w, 3).astype(np.float32) / 255.0
+        return np.frombuffer(body, np.uint8, count=n,
+                             offset=off).reshape(h, w, 3)
     return frame(4), frame(4 + n)
 
 
@@ -164,9 +173,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply_json(500, {"error": str(e)})
             return
         if raw:
-            u8 = np.clip(np.asarray(mid, np.float32) * 255.0 + 0.5,
-                         0, 255).astype(np.uint8)
-            self._reply(200, u8.tobytes(), RAW_CONTENT_TYPE)
+            self._reply(200, _to_u8(mid).tobytes(), RAW_CONTENT_TYPE)
         else:
             self._reply(200, _encode_png(mid, self.vfi.png_compress_level),
                         "image/png")
