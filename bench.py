@@ -50,9 +50,12 @@ def _measure(model_kwargs: dict, b=B, h=H, w=W, iters=ITERS) -> float:
     # offset-independent — the honest cross-framework number uses a real
     # checkpoint. Fall back to init params if the artifact is absent.
     art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
-    ckpt = next((p for p in (os.path.join(art, "emavfi_q2_best.npz"),
-                             os.path.join(art, "emavfi_long2_best.npz"))
-                 if os.path.exists(p)), None)
+    if "--ckpt" in sys.argv:  # ablation override (offset-data-dependent cost)
+        ckpt = sys.argv[sys.argv.index("--ckpt") + 1]
+    else:
+        ckpt = next((p for p in (os.path.join(art, "emavfi_q2_best.npz"),
+                                 os.path.join(art, "emavfi_long2_best.npz"))
+                     if os.path.exists(p)), None)
     if ckpt:
         from vfi_tpu.utils.convert import load_params_npz
 
