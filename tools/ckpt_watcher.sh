@@ -21,7 +21,7 @@ while true; do
     if ! cmp -s "$BEST.npz" "$DST" 2>/dev/null; then
       cp "$BEST.npz" "$DST"
       [ -f "$BEST.flow.npz" ] && cp "$BEST.flow.npz" "$DSTF"
-      git add "$DST" "$DSTF" 2>/dev/null
+      git add -f "$DST" "$DSTF" 2>/dev/null
       git commit -q -m "Secure ${RUN} in-progress best checkpoint (watcher)" \
         -- "$DST" "$DSTF" 2>/dev/null || true
     fi

@@ -30,7 +30,7 @@ secure() {  # secure <run_name> <best_prefix> <eval_json>
   cp "$BEST.npz" "artifacts/emavfi_${RUN}_best.npz"
   [ -f "$BEST.flow.npz" ] && cp "$BEST.flow.npz" "artifacts/emavfi_${RUN}_best.flow.npz"
   [ -f "$EVJ" ] && cp "$EVJ" "artifacts/${RUN}_eval.json"
-  git add "artifacts/emavfi_${RUN}_best.npz" "artifacts/emavfi_${RUN}_best.flow.npz" \
+  git add -f "artifacts/emavfi_${RUN}_best.npz" "artifacts/emavfi_${RUN}_best.flow.npz" \
           "artifacts/${RUN}_eval.json" 2>/dev/null
   git commit -q -m "Secure ${RUN} best checkpoint + eval (weights tracked)" || true
 }
