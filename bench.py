@@ -102,13 +102,18 @@ def main() -> int:
     # shifts path at every offset regime (docs/PERFORMANCE.md); XLA shifts
     # and exact-gather remain as degradation rungs if Mosaic fails.
     configs = [
+        # tw256: per-tile skip predicates beat full-width ones on trained
+        # offsets (~8-18%/layer at 720p, bit-identical output —
+        # docs/PERFORMANCE.md "Column-tiled predicates on trained offsets")
+        ("pallas-v4-tw256", dict(dcn_max_offset=2, warp_max_flow=16,
+                                 use_pallas=True, dcn_tile_w=256)),
         ("pallas-v4", dict(dcn_max_offset=2, warp_max_flow=16,
                            use_pallas=True)),
         ("xla-shifts", dict(dcn_max_offset=2, warp_max_flow=16)),
         ("exact", dict()),
     ]
     if smoke:  # CPU: Pallas needs interpret mode; just validate the harness
-        configs = configs[1:]
+        configs = [c for c in configs if not c[1].get("use_pallas")]
     fps, used, used_kwargs, best_b = None, None, None, shape.get("b", B)
     for name, kwargs in configs:
         try:

@@ -219,3 +219,31 @@ def test_auto_tiling_plan_4k():
     assert pallas_sampling_feasible(2160, 3840, 67, 67, 2, itemsize=2)
     # widths with no 128-multiple divisor and an oversized slab stay False
     assert not pallas_sampling_feasible(2160, 3843, 67, 67, 2, itemsize=2)
+
+
+def test_layer_tile_w_matches_untiled(rng):
+    """ModulatedDeformConv(tile_w=...) is bit-identical to the untiled
+    plan, and an inapplicable tile width (not dividing w / not lane-
+    aligned) silently degrades to the auto plan instead of failing —
+    the same model instance must serve many input sizes."""
+    from vfi_tpu.models.layers import ModulatedDeformConv
+    from vfi_tpu.ops.pallas.sampling import pallas_sampling_feasible
+
+    b, h, w, c = 1, 16, 256, 4
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    ref_layer = ModulatedDeformConv(c, max_offset=2, use_pallas=True)
+    params = ref_layer.init(jax.random.PRNGKey(0), x)
+    # trained-looking offsets: perturb the zero-init offset conv
+    params = jax.tree.map(
+        lambda p: p + 0.4 * jax.random.normal(jax.random.PRNGKey(1), p.shape),
+        params)
+    ref = ref_layer.apply(params, x)
+    for tw in (128, 96):  # 96: not lane-aligned -> auto fallback
+        out = ModulatedDeformConv(c, max_offset=2, use_pallas=True,
+                                  tile_w=tw).apply(params, x)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    # feasibility gate agrees with the layer's degrade logic
+    assert pallas_sampling_feasible(h, w, c, c, 2, tile_w=128)
+    assert not pallas_sampling_feasible(h, w, c, c, 2, tile_w=96)
+    assert not pallas_sampling_feasible(h, w, c, c, 2, tile_w=100)

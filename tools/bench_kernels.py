@@ -135,8 +135,15 @@ def main():
     p.add_argument("--radius", type=int, default=2)
     p.add_argument("--channels", type=int, default=67)
     p.add_argument("--kernels", default="xla,pallas")
-    p.add_argument("--tile_w", type=int, default=128,
-                   help="column-tile width for the v4t kernel variant")
+    p.add_argument("--tile_w", default="128",
+                   help="column-tile width(s) for the v4t kernel variant "
+                        "(comma list sweeps, e.g. 128,256,640)")
+    p.add_argument("--offsets", default=None,
+                   help="npz from tools/dump_offsets.py: bench with REAL "
+                        "per-layer offset/mask planes instead of the "
+                        "synthetic regimes (the synthetic 'trained' regime "
+                        "is spatially homogeneous, so it cannot show the "
+                        "per-tile-predicate sparsity of real offsets)")
     p.add_argument("--warp", action="store_true",
                    help="benchmark the warp kernels instead of DCN")
     args = p.parse_args()
@@ -160,8 +167,9 @@ def main():
         kernels["pallas-v4"] = functools.partial(
             deform_conv2d_pallas_v4, max_offset=r)
     if "v4t" in args.kernels:  # column-tiled (the 4K path)
-        kernels[f"v4-tw{args.tile_w}"] = functools.partial(
-            deform_conv2d_pallas_v4, max_offset=r, tile_w=args.tile_w)
+        for tw in (int(t) for t in str(args.tile_w).split(",")):
+            kernels[f"v4-tw{tw}"] = functools.partial(
+                deform_conv2d_pallas_v4, max_offset=r, tile_w=tw)
     if "v4b" in args.kernels:  # double-buffered sample scratch
         kernels["pallas-v4b2"] = functools.partial(
             deform_conv2d_pallas_v4, max_offset=r, samp_bufs=2)
@@ -170,8 +178,26 @@ def main():
             kernels[f"v4-{dbg}"] = functools.partial(
                 deform_conv2d_pallas_v4, max_offset=r, _dbg=dbg)
 
-    for regime in ("zero", "trained", "worst"):
-        inp = make_inputs(h, w, args.channels, r, regime)
+    if args.offsets:
+        data = np.load(args.offsets)
+        layers = sorted({k.split("_l")[1] for k in data.files})
+        regimes = []
+        for li in layers:
+            off = np.asarray(data[f"offset_l{li}"], np.float32)
+            msk = np.asarray(data[f"mask_l{li}"], np.float32)
+            if off.shape[1] != h or off.shape[2] != w:
+                raise SystemExit(
+                    f"--offsets planes are {off.shape[1]}x{off.shape[2]} "
+                    f"but --size {args.size} is {h}x{w}")
+            base = make_inputs(h, w, args.channels, r, "zero")
+            inp = (base[0], jnp.asarray(off, jnp.bfloat16),
+                   jnp.asarray(msk, jnp.bfloat16), base[3], base[4])
+            regimes.append((f"real:l{li}", inp))
+    else:
+        regimes = [(reg, make_inputs(h, w, args.channels, r, reg))
+                   for reg in ("zero", "trained", "worst")]
+
+    for regime, inp in regimes:
         for name, fn in kernels.items():
             try:
                 ms = measure(fn, inp, args.iters)

@@ -127,6 +127,8 @@ def main(argv=None) -> int:
     parser.add_argument("--warp_max_flow", type=int, default=None,
                         help="bounded warp flow radius (px)")
     parser.add_argument("--use_pallas", action="store_true")
+    parser.add_argument("--dcn_tile_w", type=int, default=None,
+                        help="explicit Pallas DCN column-tile width (e.g. 256): per-tile skip predicates are tighter on trained offsets; bit-identical, auto-ignored for widths it does not divide")
     parser.add_argument("--tta", action="store_true",
                         help="average 4 symmetry-transformed forwards "
                              "(identity/hflip/vflip/temporal-swap); ~4x "
@@ -179,6 +181,7 @@ def main(argv=None) -> int:
                                dcn_max_offset=args.dcn_max_offset,
                                warp_max_flow=args.warp_max_flow,
                                use_pallas=args.use_pallas,
+                               dcn_tile_w=args.dcn_tile_w,
                                tta=args.tta,
                                flow_params=flow_params,
                                flow_prior_scale=args.flow_prior_scale,

@@ -73,6 +73,8 @@ def main(argv=None) -> int:
                        help="bounded warp flow radius (px)")
         p.add_argument("--use_pallas", action="store_true",
                        help="fused Pallas kernels for bounded sampling")
+        p.add_argument("--dcn_tile_w", type=int, default=None,
+                       help="explicit Pallas DCN column-tile width (e.g. 256): per-tile skip predicates are tighter on trained offsets; bit-identical, auto-ignored for widths it does not divide")
         p.add_argument("--spatial", type=int, default=1,
                        help="shard frame height over this many devices "
                             "(single-clip 1080p/4K mode; with --use_pallas "
@@ -134,6 +136,7 @@ def main(argv=None) -> int:
                                    dcn_max_offset=args.dcn_max_offset,
                                    warp_max_flow=args.warp_max_flow,
                                    use_pallas=args.use_pallas,
+                                   dcn_tile_w=args.dcn_tile_w,
                                    mesh=mesh, spatial=args.spatial > 1,
                                    **flow_kw)
         mid = np.asarray(interp.midpoints(load(args.frame0), load(args.frame1)))[0]
@@ -148,6 +151,7 @@ def main(argv=None) -> int:
                                    dcn_max_offset=args.dcn_max_offset,
                                    warp_max_flow=args.warp_max_flow,
                                    use_pallas=args.use_pallas,
+                                   dcn_tile_w=args.dcn_tile_w,
                                    mesh=mesh, spatial=args.spatial > 1,
                                    **flow_kw)
         all_stats = interpolate_videos(
@@ -168,6 +172,7 @@ def main(argv=None) -> int:
                                dcn_max_offset=args.dcn_max_offset,
                                warp_max_flow=args.warp_max_flow,
                                use_pallas=args.use_pallas,
+                               dcn_tile_w=args.dcn_tile_w,
                                mesh=mesh, spatial=args.spatial > 1,
                                **flow_kw)
     from vfi_tpu.infer.video import interpolate_video

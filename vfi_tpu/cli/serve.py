@@ -34,6 +34,8 @@ def main(argv=None) -> int:
     parser.add_argument("--dcn_max_offset", type=int, default=None)
     parser.add_argument("--warp_max_flow", type=int, default=None)
     parser.add_argument("--use_pallas", action="store_true")
+    parser.add_argument("--dcn_tile_w", type=int, default=None,
+                        help="explicit Pallas DCN column-tile width (e.g. 256): per-tile skip predicates are tighter on trained offsets; bit-identical, auto-ignored for widths it does not divide")
     parser.add_argument("--flow_prior", action="store_true")
     parser.add_argument("--flow_model", default=None)
     parser.add_argument("--flow_prior_scale", type=float, default=0.5)
@@ -68,6 +70,7 @@ def main(argv=None) -> int:
                                dcn_max_offset=args.dcn_max_offset,
                                warp_max_flow=args.warp_max_flow,
                                use_pallas=args.use_pallas,
+                               dcn_tile_w=args.dcn_tile_w,
                                flow_params=flow_params,
                                flow_prior_scale=args.flow_prior_scale,
                                flow_mid_channels=args.flow_mid_channels,

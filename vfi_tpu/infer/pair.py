@@ -67,6 +67,7 @@ class FrameInterpolator:
                  dcn_max_offset: Optional[int] = None,
                  warp_max_flow: Optional[int] = None,
                  use_pallas: bool = False,
+                 dcn_tile_w: Optional[int] = None,
                  spatial: bool = False,
                  flow_params=None,
                  flow_prior_scale: float = 0.5,
@@ -117,7 +118,7 @@ class FrameInterpolator:
             num_blocks=num_blocks if num_blocks is not None else dims["num_blocks"],
             dtype=jnp.bfloat16 if bf16 else None,
             dcn_max_offset=dcn_max_offset, warp_max_flow=warp_max_flow,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, dcn_tile_w=dcn_tile_w)
         self.mesh = mesh if mesh is not None else make_mesh()
         self.reference_compat = reference_compat
         rep = replicated(self.mesh)

@@ -61,6 +61,13 @@ class EMAVFI(nn.Module):
     # Run bounded sampling through the Pallas kernels (fused, single HBM
     # read) instead of the XLA shift decomposition. Same numerics.
     use_pallas: bool = False
+    # Explicit column-tile width for the Pallas DCN kernels (None = auto).
+    # Real trained offsets are spatially heterogeneous, so per-tile skip
+    # predicates drop ~15% of (tap, shift) pair work that full-width
+    # bounds cannot (256 at 720p: ~8-18%/layer measured, bit-identical;
+    # docs/PERFORMANCE.md "Column-tiled predicates"). Silently ignored for
+    # input widths it does not divide.
+    dcn_tile_w: Optional[int] = None
     # --- manual spatial (H) sharding, for use inside jax.shard_map ---
     # When `spatial_axis` is set, the inputs are halo-extended H-slabs of a
     # globally `spatial_global_h`-row image (slab row 0 = global row
@@ -186,6 +193,7 @@ class EMAVFI(nn.Module):
             fused = mask(ModulatedDeformConv(fused_ch, dtype=dt,
                                              max_offset=self.dcn_max_offset,
                                              use_pallas=self.use_pallas,
+                                             tile_w=self.dcn_tile_w,
                                              name=f"fusion_dcn{i}")(fused))
 
         # 6. Reconstruction head -> [0, 1] frame.

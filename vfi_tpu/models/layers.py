@@ -140,6 +140,13 @@ class ModulatedDeformConv(nn.Module):
     # in ops/pallas/sampling.py, backward via the XLA shifts op). Identical
     # numerics to the shifts op; single HBM read of x per layer.
     use_pallas: bool = False
+    # Optional explicit column-tile width for the Pallas kernel (None =
+    # auto plan: untiled when feasible). Per-tile skip predicates are
+    # tighter than full-width ones on real trained offsets — tw256 at 720p
+    # measured ~8-18% faster per layer (bit-identical output). Ignored
+    # (auto plan) when it does not divide this input's width or its slab
+    # is VMEM-infeasible.
+    tile_w: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -179,14 +186,23 @@ class ModulatedDeformConv(nn.Module):
                 from vfi_tpu.ops.pallas.sampling import pallas_sampling_feasible
                 from vfi_tpu.ops.pallas.wrappers import deform_conv2d_fast
 
+                isz = jnp.dtype(dtype).itemsize
+                # Requested explicit tile that can't apply to this width
+                # (or slab) degrades to the auto plan, not to a failure:
+                # the same model instance runs many input sizes.
+                tw = self.tile_w
+                if tw is not None and not pallas_sampling_feasible(
+                        x.shape[1], x.shape[2], x.shape[3], self.features,
+                        self.max_offset, isz, tile_w=tw):
+                    tw = None
                 if pallas_sampling_feasible(
                         x.shape[1], x.shape[2], x.shape[3], self.features,
-                        self.max_offset, jnp.dtype(dtype).itemsize):
+                        self.max_offset, isz):
                     return deform_conv2d_fast(
                         x.astype(dtype), offset.astype(dtype),
                         mask.astype(dtype), weight.astype(dtype),
                         bias.astype(dtype) if bias is not None else None,
-                        self.max_offset)
+                        self.max_offset, tw)
                 _warn_pallas_rejected(x.shape[1], x.shape[2], x.shape[3])
             return deform_conv2d_shifts(
                 x.astype(dtype), offset.astype(dtype), mask.astype(dtype),

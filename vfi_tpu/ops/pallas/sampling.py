@@ -90,7 +90,8 @@ def _pick_th(h: int, w: int, cpad: int, cout: int, m: int,
 
 
 def pallas_sampling_feasible(h: int, w: int, c: int, cout: int, R: int,
-                             itemsize: int = 2) -> bool:
+                             itemsize: int = 2,
+                             tile_w: Optional[int] = None) -> bool:
     """Static check: does the v4 kernel have a VMEM-feasible configuration
     — an untiled full-width row slab, or (large widths, e.g. 4K W=3840) a
     column-tiled plan from the bounded-compile candidate set (tw <= 384,
@@ -100,8 +101,17 @@ def pallas_sampling_feasible(h: int, w: int, c: int, cout: int, R: int,
     actually lowers (round-1's untiled-only gate retired 2026-08-17 after
     the real-4K compile bisect + runtime win, docs/PERFORMANCE.md)."""
     try:
-        _pick_th_tw_v4(h, w, _pad128(c), _pad128(cout), R + 1, 3,
-                       itemsize=itemsize)
+        if tile_w is not None:
+            # Explicit column tile (tile_w= on the kernel): feasible iff it
+            # divides w, is lane-aligned (or the full width), and its slab
+            # fits VMEM.
+            if w % tile_w != 0 or (tile_w != w and tile_w % 128 != 0):
+                return False
+            _pick_th_v4(h, tile_w, _pad128(c), _pad128(cout), R + 1, 3,
+                        itemsize=itemsize)
+        else:
+            _pick_th_tw_v4(h, w, _pad128(c), _pad128(cout), R + 1, 3,
+                           itemsize=itemsize)
         return True
     except ValueError:
         return False

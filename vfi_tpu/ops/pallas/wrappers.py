@@ -23,24 +23,30 @@ from vfi_tpu.ops.pallas.sampling import (bounded_warp_pallas,
 from vfi_tpu.ops.warp import warp as warp_xla
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def deform_conv2d_fast(x, offset, mask, weight, bias, max_offset: int = 3):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def deform_conv2d_fast(x, offset, mask, weight, bias, max_offset: int = 3,
+                       tile_w=None):
     """DCNv2 with bounded offsets: Pallas forward (v4 kernel),
     differentiable backward.
 
     Same contract as `deform_conv2d_shifts` (NHWC, stride 1, og=1, groups=1).
+    `tile_w` forces a column-tile width on the forward kernel (None = the
+    auto plan): per-tile skip predicates are tighter than full-width ones
+    on real trained offsets — tw256 at 720p is ~8-18% faster per layer
+    (docs/PERFORMANCE.md "Column-tiled predicates on trained offsets").
+    Bit-identical to untiled for any tile width.
     """
     return deform_conv2d_pallas_v4(x, offset, mask, weight, bias,
-                                   max_offset=max_offset)
+                                   max_offset=max_offset, tile_w=tile_w)
 
 
-def _dcn_fwd(x, offset, mask, weight, bias, max_offset):
+def _dcn_fwd(x, offset, mask, weight, bias, max_offset, tile_w):
     out = deform_conv2d_pallas_v4(x, offset, mask, weight, bias,
-                                  max_offset=max_offset)
+                                  max_offset=max_offset, tile_w=tile_w)
     return out, (x, offset, mask, weight, bias)
 
 
-def _dcn_bwd(max_offset, res, g):
+def _dcn_bwd(max_offset, tile_w, res, g):
     x, offset, mask, weight, bias = res
 
     def f(x_, o_, m_, w_, b_):

@@ -235,7 +235,8 @@ class Trainer:
                             num_blocks=cfg.num_blocks, dtype=dtype,
                             dcn_max_offset=cfg.dcn_max_offset,
                             warp_max_flow=cfg.warp_max_flow,
-                            use_pallas=cfg.use_pallas)
+                            use_pallas=cfg.use_pallas,
+                            dcn_tile_w=cfg.dcn_tile_w)
         self.vgg_layer_index = LAYER_INDEX[cfg.vgg_layer]
         # vgg_weight == 0 -> skip building/running VGG entirely
         self.vgg_module = (VGG16Features(max_stage=self.vgg_layer_index,

@@ -154,6 +154,10 @@ class TrainConfig:
     dcn_max_offset: Optional[int] = None
     warp_max_flow: Optional[int] = None
     use_pallas: bool = False
+    # Explicit Pallas DCN column-tile width (None = auto plan). Tighter
+    # per-tile skip predicates on trained offsets; bit-identical output;
+    # silently ignored for widths it does not divide (e.g. crop training).
+    dcn_tile_w: Optional[int] = None
 
     # TPU execution (additions)
     mesh: MeshConfig = field(default_factory=MeshConfig)
