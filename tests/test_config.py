@@ -80,6 +80,16 @@ def test_cli_override_bool_and_optional_coercion():
     assert cfg.warp_max_flow is None
 
 
+def test_cli_override_dcn_tile_w():
+    """--dcn_tile_w threads the column-tile knob (docs/PERFORMANCE.md
+    "Column-tiled predicates") as Optional[int]: explicit width coerces to
+    int, 'none' restores the auto planner."""
+    cfg = load_train_config(None, ["--dcn_tile_w", "256"])
+    assert cfg.dcn_tile_w == 256 and isinstance(cfg.dcn_tile_w, int)
+    cfg = load_train_config(None, ["--dcn_tile_w", "none"])
+    assert cfg.dcn_tile_w is None
+
+
 def test_cli_override_tuple_field():
     cfg = load_train_config(None, ["--crop_size", "[128, 96]"])
     assert cfg.crop_size == (128, 96)

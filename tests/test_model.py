@@ -134,6 +134,21 @@ def test_params_npz_roundtrip(tiny_model_and_params, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), b)
 
 
+def test_dcn_tile_w_inert_off_pallas_path(tiny_model_and_params, rng):
+    """dcn_tile_w only selects the Pallas kernel's column plan — off the
+    Pallas path (use_pallas=False, e.g. CPU) it must be accepted and be a
+    no-op, so configs tuned for TPU serving run unchanged everywhere."""
+    _, params = tiny_model_and_params
+    f0 = jnp.asarray(rng.standard_normal((1, 16, 16, 3)).astype(np.float32))
+    f1 = jnp.asarray(rng.standard_normal((1, 16, 16, 3)).astype(np.float32))
+    base = EMAVFI(mid_channels=8, num_blocks=1, dcn_max_offset=2)
+    tiled = EMAVFI(mid_channels=8, num_blocks=1, dcn_max_offset=2,
+                   dcn_tile_w=256)
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(base.apply)(params, f0, f1)),
+        np.asarray(jax.jit(tiled.apply)(params, f0, f1)))
+
+
 def test_zero_init_offsets_at_init(tiny_model_and_params):
     """The offset conv must be zero-init (weights AND bias) so the model
     starts as a plain conv stack (reference ema_vfi.py:42-43)."""

@@ -137,6 +137,18 @@ def main(argv=None) -> int:
         print(json.dumps(res))
         return 0 if res["ok"] else 1
 
+    # Warm the TPU runtime/tunnel in a throwaway subprocess first: after a
+    # VM restart the first device touch can take minutes (relay init), which
+    # once ate the whole first case's timeout and reported a false kernel
+    # failure (session 10). Untimed against the cases; bounded on its own.
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.numpy.ones(8).block_until_ready()"],
+            capture_output=True, text=True, timeout=900, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        print("  warmup: TPU runtime did not come up in 900s", flush=True)
+
     results = []
     for case in CASES:
         t0 = time.time()
