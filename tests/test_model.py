@@ -225,3 +225,23 @@ def test_vgg16_converter_structure(rng):
     np.testing.assert_array_equal(
         params["params"]["conv0"]["kernel"][0, 1, 2, 3],
         sd["features.0.weight"][3, 2, 0, 1])
+
+
+def test_use_pallas_on_cpu_falls_back_to_shifts(tiny_model_and_params, rng):
+    """use_pallas=True off-TPU must degrade to the XLA shifts op, not crash.
+
+    Regression: `infer.py video --use_pallas` on the CPU backend raised
+    "Only interpret mode is supported on CPU backend" from pallas_call at
+    lowering time (session 11). The platform gate
+    (`pallas_backend_supported`) now routes the DCN and the bounded warp
+    to the shift-decomposition path, which is numerically identical —
+    so the two settings must agree exactly on CPU."""
+    _, params = tiny_model_and_params
+    kw = dict(mid_channels=8, num_blocks=1, dcn_max_offset=2,
+              warp_max_flow=4)
+    f0 = jnp.asarray(rng.standard_normal((1, 16, 16, 3)).astype(np.float32))
+    f1 = jnp.asarray(rng.standard_normal((1, 16, 16, 3)).astype(np.float32))
+    out_pallas = jax.jit(EMAVFI(use_pallas=True, **kw).apply)(params, f0, f1)
+    out_shifts = jax.jit(EMAVFI(use_pallas=False, **kw).apply)(params, f0, f1)
+    np.testing.assert_array_equal(np.asarray(out_pallas),
+                                  np.asarray(out_shifts))

@@ -171,11 +171,13 @@ class EMAVFI(nn.Module):
         #    align_corners=True semantics.
         use_pallas_warp = False
         if self.warp_max_flow is not None and self.use_pallas:
-            from vfi_tpu.ops.pallas.sampling import pallas_warp_v2_feasible
+            from vfi_tpu.ops.pallas.sampling import (
+                pallas_backend_supported, pallas_warp_v2_feasible)
 
-            use_pallas_warp = pallas_warp_v2_feasible(
-                f2.shape[1], f2.shape[2], f2.shape[3],
-                self.warp_max_flow, jnp.dtype(compute_dtype).itemsize)
+            use_pallas_warp = pallas_backend_supported() and (
+                pallas_warp_v2_feasible(
+                    f2.shape[1], f2.shape[2], f2.shape[3],
+                    self.warp_max_flow, jnp.dtype(compute_dtype).itemsize))
         if use_pallas_warp:
             from vfi_tpu.ops.pallas.wrappers import warp_fast
 

@@ -35,6 +35,23 @@ torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "unifo
 _pallas_rejected_shapes: set = set()
 
 
+_pallas_backend_warned = False
+
+
+def _warn_pallas_backend() -> None:
+    """Trace-time notice (once per process) that use_pallas=True fell back
+    to the XLA shifts op because the default backend is not a TPU — Mosaic
+    kernels cannot lower on CPU/GPU. Same numerics, no Pallas speedup."""
+    global _pallas_backend_warned
+    if not _pallas_backend_warned:
+        _pallas_backend_warned = True
+        import jax
+
+        print(f"[vfi_tpu] use_pallas requested on non-TPU backend "
+              f"'{jax.default_backend()}'; falling back to the XLA shifts "
+              f"op (same numerics, no Pallas speedup)")
+
+
 def _warn_pallas_rejected(h: int, w: int, c: int) -> None:
     """Trace-time notice (once per shape) that use_pallas=True fell back to
     the XLA shifts op because no VMEM-feasible row slab exists — e.g. a
@@ -183,9 +200,19 @@ class ModulatedDeformConv(nn.Module):
         if (self.max_offset is not None and self.stride == 1
                 and self.dilation == 1 and self.offset_groups == 1):
             if self.use_pallas:
-                from vfi_tpu.ops.pallas.sampling import pallas_sampling_feasible
+                from vfi_tpu.ops.pallas.sampling import (
+                    pallas_backend_supported, pallas_sampling_feasible)
                 from vfi_tpu.ops.pallas.wrappers import deform_conv2d_fast
 
+                if not pallas_backend_supported():
+                    # Off-TPU (CPU/GPU backends) Mosaic can't lower; the
+                    # shifts op below is numerically identical.
+                    _warn_pallas_backend()
+                    return deform_conv2d_shifts(
+                        x.astype(dtype), offset.astype(dtype),
+                        mask.astype(dtype), weight.astype(dtype),
+                        bias.astype(dtype) if bias is not None else None,
+                        max_offset=self.max_offset, padding=self.padding)
                 isz = jnp.dtype(dtype).itemsize
                 # Requested explicit tile that can't apply to this width
                 # (or slab) degrades to the auto plan, not to a failure:

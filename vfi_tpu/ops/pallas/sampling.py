@@ -89,6 +89,21 @@ def _pick_th(h: int, w: int, cpad: int, cout: int, m: int,
         f"no VMEM-feasible row slab for h={h} w={w} cpad={cpad} halo={m}")
 
 
+def pallas_backend_supported() -> bool:
+    """Can the current default backend execute these Mosaic TPU kernels?
+
+    Pallas-TPU lowers only on TPU backends (including this environment's
+    experimental 'axon' tunnel platform); on CPU/GPU `pallas_call` raises
+    at lowering time ("Only interpret mode is supported on CPU backend").
+    Production call sites (ModulatedDeformConv, EMAVFI's warp) AND this
+    into their `use_pallas` gates so `use_pallas=True` degrades to the
+    XLA shift-decomposition op off-TPU instead of crashing mid-pipeline —
+    the same degradation ladder bench.py documents. Kept separate from
+    `pallas_sampling_feasible`, which is pure shape/VMEM math and remains
+    platform-agnostic (its CPU-run unit tests check the 4K tiling plan)."""
+    return jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+
+
 def pallas_sampling_feasible(h: int, w: int, c: int, cout: int, R: int,
                              itemsize: int = 2,
                              tile_w: Optional[int] = None) -> bool:
