@@ -74,3 +74,28 @@ def test_bench_batch_sweep(monkeypatch, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert calls == [4, 8]
     assert out["value"] == 10.0 and "_b4_" in out["metric"]
+
+
+def test_make_soup_uniform_average(tmp_path):
+    from tools.make_soup import average_npz
+
+    a = {"params/w": np.full((2, 3), 1.0, np.float32),
+         "params/b": np.array([0.0, 2.0], np.float32)}
+    b = {"params/w": np.full((2, 3), 3.0, np.float32),
+         "params/b": np.array([4.0, 0.0], np.float32)}
+    pa, pb = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    np.savez(pa, **a)
+    np.savez(pb, **b)
+    out = str(tmp_path / "soup.npz")
+    average_npz([pa, pb], out)
+    z = np.load(out)
+    assert sorted(z.files) == ["params/b", "params/w"]
+    np.testing.assert_allclose(z["params/w"], 2.0)
+    np.testing.assert_allclose(z["params/b"], [2.0, 1.0])
+    assert z["params/w"].dtype == np.float32
+
+    # mismatched key sets must fail loudly
+    np.savez(str(tmp_path / "c.npz"), **{"params/w": a["params/w"]})
+    import pytest
+    with pytest.raises(ValueError):
+        average_npz([pa, str(tmp_path / "c.npz")], str(tmp_path / "d.npz"))
