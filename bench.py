@@ -51,7 +51,10 @@ def _measure(model_kwargs: dict, b=B, h=H, w=W, iters=ITERS) -> float:
     # checkpoint. Fall back to init params if the artifact is absent.
     art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
     if "--ckpt" in sys.argv:  # ablation override (offset-data-dependent cost)
-        ckpt = sys.argv[sys.argv.index("--ckpt") + 1]
+        i = sys.argv.index("--ckpt")
+        if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("--"):
+            sys.exit("bench.py: --ckpt requires a checkpoint path argument")
+        ckpt = sys.argv[i + 1]
     else:
         ckpt = next((p for p in (os.path.join(art, "emavfi_q2_best.npz"),
                                  os.path.join(art, "emavfi_long2_best.npz"))

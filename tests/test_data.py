@@ -129,3 +129,21 @@ def test_loader_drop_last(scene_dir):
     assert len(drop) == 1 and len(keep) == 2
     batches = list(keep)
     assert batches[-1][0].shape[0] == 2  # remainder batch
+
+
+def test_decoded_cache_evicts_oldest(scene_dir):
+    """Regression: over-budget eviction must drop the OLDEST insertion.
+    dict.popitem() is LIFO — it pinned the first-loaded images forever and
+    evicted each new entry on the very next insert."""
+    ds = TripletDataset(scene_dir, frame_interval=1, augment=None)
+    paths = sorted({p for t in ds.triplets for p in t})[:3]
+    one = ds._load(paths[0]).nbytes
+    ds._cache.clear()
+    ds._cache_bytes = 0
+    ds.cache_decoded_mb = (2.5 * one) / 1e6  # room for exactly two images
+
+    for p in paths:
+        ds._load(p)
+    assert paths[0] not in ds._cache          # oldest evicted
+    assert paths[1] in ds._cache and paths[2] in ds._cache
+    assert ds._cache_bytes == 2 * one

@@ -304,3 +304,50 @@ def test_http_raw_protocol_matches_png(served_model, rng):
     # malformed raw body -> 400, not a server error
     status, body = _post(url, b"\x00\x01\x00\x01junk", ctype=RAW_CONTENT_TYPE)
     assert status == 400 and b"raw body" in body
+
+
+def test_ready_bucket_earliest_deadline_first():
+    """Regression: a saturated majority-shape bucket (always >= max_batch,
+    listed first in dict order) must not starve an older minority-shape
+    request whose max_delay deadline already expired."""
+    from concurrent.futures import Future
+
+    from vfi_tpu.serve.batcher import MicroBatcher, _Request
+
+    mb = MicroBatcher.__new__(MicroBatcher)  # picker is pure given fields
+    mb.max_batch = 2
+    mb.max_delay = 0.05
+    mb._closed = False
+
+    now = 100.0
+    fresh = [_Request(None, None, Future(), t_submit=now - 0.001)
+             for _ in range(2)]                      # full bucket, fresh head
+    stale = _Request(None, None, Future(), t_submit=now - 1.0)  # expired
+    from collections import deque
+    mb._buckets = {(720, 1280): deque(fresh), (1080, 1920): deque([stale])}
+
+    shape, soonest = mb._ready_bucket(now)
+    assert shape == (1080, 1920) and soonest is None
+
+    # with only the saturated bucket present it still launches immediately
+    mb._buckets = {(720, 1280): deque(fresh)}
+    shape, _ = mb._ready_bucket(now)
+    assert shape == (720, 1280)
+
+
+def test_http_raw_content_type_with_parameters(served_model, rng):
+    """HTTP allows media-type parameters and case variants; both must route
+    to the raw parser (an exact == misrouted them into the PNG parser)."""
+    from vfi_tpu.serve import encode_raw_body
+
+    server, _ = served_model
+    url = f"http://127.0.0.1:{server.port}/v1/interpolate"
+    a = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    b = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    body = encode_raw_body(a, b)
+
+    for ctype in ("application/x-vfi-raw; charset=binary",
+                  "Application/X-VFI-Raw"):
+        status, raw = _post(url, body, ctype=ctype)
+        assert status == 200, (ctype, raw)
+        assert np.frombuffer(raw, np.uint8).reshape(16, 16, 3).shape == (16, 16, 3)

@@ -46,9 +46,29 @@ def test_cosine_scheduler_warm_restarts_and_roundtrip():
     assert abs(lrs[9] - 1.0) < 1e-12
     assert min(lrs) >= 0.1 - 1e-12
     d = s.state_dict()
-    s2 = CosineScheduler(lr0=9.9, total=20, period=5)
+    s2 = CosineScheduler(lr0=1.0, total=20, period=5, min_lr=0.1)
     s2.load_state_dict(d)
     assert s2.step(0.0) == s.step(0.0)
+
+
+def test_cosine_scheduler_resume_config_owns_shape():
+    """Regression: the schedule SHAPE (lr0/period/min_lr/restarts) follows
+    the resuming run's config; only the clock (t, lr) restores. Restoring
+    the old period while `restarts` came from the new config pinned the lr
+    at min_lr via tc=min(t, old_period) for the rest of the run."""
+    from vfi_tpu.train.state import CosineScheduler
+
+    s = CosineScheduler(lr0=1e-3, total=160, period=50, min_lr=1e-5)
+    for _ in range(60):
+        s.step(0.0)
+    d = s.state_dict()
+
+    # resumed run intends a single cosine over the full length
+    s2 = CosineScheduler(lr0=1e-3, total=160, period=0, min_lr=1e-5)
+    s2.load_state_dict(d)
+    assert s2.t == 60 and s2.period == 160 and s2.restarts is False
+    lr = s2.step(0.0)
+    assert lr > s2.min_lr * 1.5  # not pinned at the floor by old period=50
 
 
 def test_scheduler_state_roundtrip():
@@ -295,6 +315,68 @@ def test_trainer_interrupt_saves_resumable_checkpoint(tmp_path, rng):
     history = trainer2.run(log=lambda *_: None)
     trainer2.ckpt.close()
     assert len(history["val_loss"]) == 3 - trainer2.start_epoch
+
+def test_trainer_interrupt_after_resume_saves_new_step(tmp_path, rng):
+    """Regression: the interrupt checkpoint on a RESUMED run must target a
+    NEW orbax step (start_epoch + completed count) — the old
+    max(start_epoch, len(history)) collided with an already-saved step and
+    dropped the best_val watermark (no extra passed)."""
+    import dataclasses
+
+    import pytest as _pytest
+    from PIL import Image
+
+    from vfi_tpu.train.loop import Trainer
+    from vfi_tpu.utils.config import MeshConfig, TrainConfig
+
+    root = tmp_path / "data"
+    for split in ("train", "val"):
+        d = root / split / "scene"
+        d.mkdir(parents=True)
+        for i in range(5):
+            img = rng.integers(0, 255, (20, 24, 3)).astype(np.uint8)
+            Image.fromarray(img).save(d / f"f{i}.png")
+
+    cfg = TrainConfig(
+        batch_size=2, learning_rate=1e-3, num_epochs=2,
+        train_data_dir=str(root / "train"), val_data_dir=str(root / "val"),
+        crop_size=(16, 16), random_rotation=False, horizontal_flip=False,
+        color_jitter=None, random_grayscale=0.0,
+        vgg_weight=0.0, temporal_weight=0.0,
+        mid_channels=8, num_blocks=1, bf16=False,
+        mesh=MeshConfig(data=1, spatial=1),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        best_model_path=str(tmp_path / "best"),
+        output_image_path=str(tmp_path / "imgs"),
+        log_every=100)
+
+    trainer = Trainer(cfg)
+    trainer.run(log=lambda *_: None)  # completes epochs 0, 1
+    trainer.ckpt.close()
+
+    # resume for 2 more epochs; interrupt after the SECOND post-resume
+    # epoch's summary (epoch index 3), when one full epoch is already saved
+    cfg2 = dataclasses.replace(cfg, num_epochs=4)
+
+    def interrupting_log(msg):
+        if msg.startswith("[epoch 4/") and "val" in msg:
+            raise KeyboardInterrupt
+
+    trainer2 = Trainer(cfg2)
+    assert trainer2.start_epoch == 2
+    best_before = trainer2.best_val
+    with _pytest.raises(KeyboardInterrupt):
+        trainer2.run(log=interrupting_log)
+    trainer2.ckpt.close()
+    assert np.isfinite(best_before)  # watermark restored on resume
+
+    trainer3 = Trainer(cfg2)
+    # old code saved at step 2 (collision) -> resume restarted at epoch 3;
+    # the interrupt save must land at step 3 so nothing re-runs
+    assert trainer3.start_epoch == 4
+    assert np.isfinite(trainer3.best_val)  # watermark carried by the save
+    trainer3.ckpt.close()
+
 
 def test_trainer_warm_start_init_model(tmp_path, rng):
     """init_model_path warm-starts a FRESH run (epoch 0) from an exported

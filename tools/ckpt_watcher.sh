@@ -21,6 +21,12 @@ while true; do
     if ! cmp -s "$BEST.npz" "$DST" 2>/dev/null; then
       cp "$BEST.npz" "$DST"
       [ -f "$BEST.flow.npz" ] && cp "$BEST.flow.npz" "$DSTF"
+      # The trainer rewrites best.npz then best.flow.npz (atomic renames,
+      # utils/convert.py save_params_npz). If a rewrite landed between the
+      # two copies the pair would mix epochs — re-compare both and defer to
+      # the next interval instead of committing a mismatched pair.
+      if ! cmp -s "$BEST.npz" "$DST"; then continue; fi
+      if [ -f "$BEST.flow.npz" ] && ! cmp -s "$BEST.flow.npz" "$DSTF"; then continue; fi
       git add -f "$DST" "$DSTF" 2>/dev/null
       git commit -q -m "Secure ${RUN} in-progress best checkpoint (watcher)" \
         -- "$DST" "$DSTF" 2>/dev/null || true

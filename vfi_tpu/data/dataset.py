@@ -103,8 +103,11 @@ class TripletDataset:
             img.setflags(write=False)
             with self._cache_lock:
                 while self._cache_bytes + img.nbytes > limit and self._cache:
-                    _, old = self._cache.popitem()
-                    self._cache_bytes -= old.nbytes
+                    # evict the OLDEST insertion (FIFO): plain popitem() is
+                    # LIFO, which pinned the first-loaded images forever and
+                    # evicted each new entry on the next insert
+                    oldest = next(iter(self._cache))
+                    self._cache_bytes -= self._cache.pop(oldest).nbytes
                 if path not in self._cache:
                     self._cache[path] = img
                     self._cache_bytes += img.nbytes

@@ -151,15 +151,26 @@ class MicroBatcher:
     # -- worker side ------------------------------------------------------
 
     def _ready_bucket(self, now: float):
-        """A bucket that should launch now, else (None, soonest deadline)."""
+        """The ready bucket with the earliest head deadline, else
+        (None, soonest deadline).
+
+        Among ready buckets, earliest-deadline-first — returning the first
+        ready bucket in dict order would let a saturated majority-shape
+        bucket (always >= max_batch) starve a minority-resolution request
+        past its max_delay_ms bound indefinitely."""
         soonest = None
+        best = None
         for shape, q in self._buckets.items():
             if not q:
                 continue
             deadline = q[0].t_submit + self.max_delay
             if len(q) >= self.max_batch or now >= deadline or self._closed:
-                return shape, None
-            soonest = deadline if soonest is None else min(soonest, deadline)
+                if best is None or deadline < best[1]:
+                    best = (shape, deadline)
+            else:
+                soonest = deadline if soonest is None else min(soonest, deadline)
+        if best is not None:
+            return best[0], None
         return None, soonest
 
     def _run(self):

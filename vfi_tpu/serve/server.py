@@ -150,7 +150,11 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path.split("?")[0] != "/v1/interpolate":
             self._reply_json(404, {"error": f"unknown path {self.path}"})
             return
-        raw = self.headers.get("Content-Type", "") == RAW_CONTENT_TYPE
+        # media-type match only: HTTP allows parameters ("; charset=...")
+        # and case-insensitive types, which an exact == would misroute into
+        # the length-prefixed-PNG parser with a confusing 400
+        ctype = self.headers.get("Content-Type", "").split(";")[0].strip().lower()
+        raw = ctype == RAW_CONTENT_TYPE
         try:
             length = int(self.headers.get("Content-Length", "0"))
             if not 0 < length <= MAX_BODY_BYTES:

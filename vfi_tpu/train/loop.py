@@ -96,11 +96,12 @@ def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
         flow_fn = None
         if flow_module is not None:
             flow_fn = partial(flow_module.apply, params["flow"])
+        flow01 = None
         if flow_prior:
             from vfi_tpu.models.prior import prior_prewarp
 
-            f1_in, _ = prior_prewarp(flow_fn, f0, f1,
-                                     scale=flow_prior_scale)
+            f1_in, flow01 = prior_prewarp(flow_fn, f0, f1,
+                                          scale=flow_prior_scale)
         else:
             f1_in = f1
         pred = apply_fn(model_params, f0, f1_in)
@@ -118,7 +119,8 @@ def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
             # the reference inherited by its loss definition.
             from vfi_tpu.ops.warp import warp as warp_op
 
-            flow01 = flow_fn(f0, f1)
+            if flow01 is None:
+                flow01 = flow_fn(f0, f1)
             photo = jnp.mean(jnp.abs(warp_op(f1, flow01, mode="bilinear") - f0))
             terms["flow_photo"] = photo
             tot = tot + weights.temporal * photo
@@ -436,8 +438,19 @@ class Trainer:
             # carry the best-val watermark across resumes, else the best-model
             # file could be overwritten by a worse post-resume epoch
             restored_best = float(self.ckpt.last_meta.get("best_val", float("nan")))
-            if np.isfinite(restored_best):
+            # score spaces: best_metric=val_psnr stores -PSNR (negative),
+            # val_loss stores the (non-negative) loss. If the run resumes
+            # under a DIFFERENT best_metric than it was trained with, the
+            # watermark is in the wrong space — e.g. val_loss 0.3 < -25.9
+            # never fires, silently freezing best-model export. Detect the
+            # mismatch by sign and reset the watermark instead.
+            wrong_space = (restored_best < 0.0) != (cfg.best_metric == "val_psnr")
+            if np.isfinite(restored_best) and not wrong_space:
                 self.best_val = restored_best
+            elif np.isfinite(restored_best):
+                print("[vfi_tpu] best_val watermark from the checkpoint is in "
+                      f"a different score space than best_metric={cfg.best_metric!r}"
+                      " — resetting (first post-resume epoch becomes the best)")
             print(f"[vfi_tpu] resumed from epoch {last_epoch} "
                   f"(step {int(self.state.step)}, lr {self.scheduler.lr:.6f}, "
                   f"best val {self.best_val:.4f})")
@@ -528,8 +541,16 @@ class Trainer:
             # failure containment the reference lacks: persist state so the
             # run is resumable from the interruption point
             log("[vfi_tpu] interrupted — saving checkpoint for resume")
-            self.ckpt.save(max(self.start_epoch, len(history["val_loss"])),
-                           self.state, self.scheduler)
+            # index = the in-progress epoch (start_epoch + completed count);
+            # a plain len(history) forgets the resume offset and collides
+            # with an already-saved orbax step. Carry best_val so resume
+            # keeps the best-model watermark instead of re-exporting a
+            # worse checkpoint over <best_model_path>.npz.
+            done = len(history["val_loss"])
+            last_val = history["val_loss"][-1] if done else float("nan")
+            self.ckpt.save(self.start_epoch + done, self.state, self.scheduler,
+                           extra={"val_loss": last_val,
+                                  "best_val": self.best_val})
             self._save_ema()
             self.ckpt.wait()
             raise

@@ -153,8 +153,12 @@ class CosineScheduler:
                 "period": self.period, "min_lr": self.min_lr}
 
     def load_state_dict(self, d: dict) -> None:
+        # Only the CLOCK (t, lr) is checkpoint state. The schedule shape
+        # (lr0/period/min_lr/restarts) is config-owned: restoring `period`
+        # from the checkpoint while `restarts` came from the new config
+        # mixed the two runs' semantics (e.g. old period=50 + new
+        # cosine_restart_period=0 pinned the lr at min_lr via
+        # tc=min(t,50)). state_dict still writes the shape keys so the
+        # orbax meta schema — and old checkpoints — stay compatible.
         self.lr = float(d["lr"])
         self.t = int(d["t"])
-        self.lr0 = float(d.get("lr0", self.lr0))
-        self.period = int(d.get("period", self.period))
-        self.min_lr = float(d.get("min_lr", self.min_lr))

@@ -15,6 +15,7 @@ numpy/JAX. Works standalone: `python -m vfi_tpu.utils.convert in.pth out.npz`.
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import Any, Dict
 
@@ -118,7 +119,12 @@ def save_params_npz(params: Dict[str, Any], out_path: str) -> None:
             flat[prefix] = np.asarray(node)
 
     rec(params, "")
-    np.savez(out_path, **flat)
+    # atomic write (tmp + rename): concurrent readers — the checkpoint-
+    # securing watcher, a parallel eval — must never observe a truncated
+    # file mid-rewrite
+    tmp = out_path + ".tmp.npz"  # .npz suffix so np.savez doesn't append one
+    np.savez(tmp, **flat)
+    os.replace(tmp, out_path)
 
 
 def load_params_npz(path: str) -> Dict[str, Any]:
