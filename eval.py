@@ -1,3 +1,2 @@
-import sys
 from vfi_tpu.cli.eval import main
 if __name__ == "__main__": raise SystemExit(main())

@@ -1,3 +1,2 @@
-import sys
 from vfi_tpu.cli.infer import main
 if __name__ == "__main__": raise SystemExit(main())

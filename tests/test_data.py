@@ -1,6 +1,5 @@
 """Data pipeline tests: triplet indexing, synchronized augs, loader."""
 
-import os
 
 import numpy as np
 import pytest

@@ -25,7 +25,6 @@ Usage: python tools/blend_micro.py [--variant cur] [--iters 64]
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import subprocess

@@ -9,7 +9,6 @@ vfi_tpu.data.dataset.load_image).
 from __future__ import annotations
 
 import ctypes
-import os
 from typing import Optional, Tuple
 
 import numpy as np

@@ -10,15 +10,11 @@ forwards are the same function, so cotangents are consistent.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
 from vfi_tpu.ops.deform_conv_shifts import deform_conv2d_shifts
-from vfi_tpu.ops.pallas.sampling import (bounded_warp_pallas,
-                                         bounded_warp_pallas_v2,
-                                         deform_conv2d_pallas,
+from vfi_tpu.ops.pallas.sampling import (bounded_warp_pallas_v2,
                                          deform_conv2d_pallas_v4)
 from vfi_tpu.ops.warp import warp as warp_xla
 

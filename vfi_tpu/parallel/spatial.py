@@ -31,7 +31,7 @@ frame and no finite halo is exact (the architecture-level `warp_max_flow`
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Any, Optional
 
 import jax
