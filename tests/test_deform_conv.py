@@ -98,3 +98,35 @@ def test_deform_conv_gradients_finite_difference(rng):
         args_m = list(args); args_m[ai] = jnp.asarray(am)
         fd = (loss(*args_p) - loss(*args_m)) / (2 * eps)
         np.testing.assert_allclose(np.asarray(g)[flat_idx], fd, rtol=2e-2, atol=1e-2)
+
+
+def test_deform_conv_fuzz_random_geometry(rng):
+    """Seeded sweep over random geometry combinations vs the numpy oracle —
+    shapes/strides/dilations/groups beyond the fixed parametrize cases."""
+    for case in range(12):
+        k = int(rng.choice([1, 3]))
+        groups = int(rng.choice([1, 2]))
+        og = int(rng.choice([1, 2]))
+        # cin must divide by both groups and offset groups
+        cin = int(np.lcm(groups, og)) * int(rng.integers(1, 3))
+        cout = groups * int(rng.integers(1, 4))
+        stride = int(rng.choice([1, 2]))
+        dilation = int(rng.choice([1, 2]))
+        padding = int(rng.integers(0, 3))
+        h = int(rng.integers(max(3, dilation * (k - 1) + 1 - 2 * padding), 10))
+        w = int(rng.integers(max(3, dilation * (k - 1) + 1 - 2 * padding), 10))
+        b = int(rng.choice([1, 2]))
+        x, offset, mask, weight, bias = _rand_case(
+            rng, b=b, h=h, w=w, cin=cin, cout=cout, k=k, og=og,
+            groups=groups, stride=stride, padding=padding, dilation=dilation,
+            off_scale=float(rng.uniform(0.5, 6.0)))
+        geo = dict(stride=stride, padding=padding, dilation=dilation)
+        ours = np.asarray(deform_conv2d(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias), **geo))
+        expected = np_deform_conv2d(x, offset, mask, weight, bias, **geo)
+        np.testing.assert_allclose(
+            ours, expected, rtol=1e-4, atol=1e-4,
+            err_msg=f"case {case}: k={k} groups={groups} og={og} cin={cin} "
+                    f"cout={cout} s={stride} d={dilation} p={padding} "
+                    f"h={h} w={w} b={b}")

@@ -88,3 +88,25 @@ def test_scan_variant_is_differentiable(rng):
 
     go, gw = jax.grad(loss, argnums=(0, 1))(offset, weight)
     assert np.isfinite(np.asarray(go)).all() and np.abs(np.asarray(gw)).max() > 0
+
+
+def test_shifts_fuzz_matches_exact(rng):
+    """Seeded sweep over random shapes and clamp radii: the bounded
+    shift-decomposition must equal the exact gather for clipped offsets."""
+    for case in range(10):
+        R = int(rng.integers(1, 5))
+        h = int(rng.integers(3, 11))
+        w = int(rng.integers(3, 11))
+        cin = int(rng.integers(1, 6))
+        cout = int(rng.integers(1, 6))
+        b = int(rng.choice([1, 2]))
+        x, offset, mask, weight, bias = _case(
+            rng, b=b, h=h, w=w, cin=cin, cout=cout,
+            off_scale=float(rng.uniform(0.3, 2.0 * R)))
+        offset = jnp.clip(offset, -R + 0.01, R - 0.01)
+        exact = deform_conv2d(x, offset, mask, weight, bias)
+        fast = deform_conv2d_shifts(x, offset, mask, weight, bias,
+                                    max_offset=R)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(exact), rtol=1e-4, atol=1e-4,
+            err_msg=f"case {case}: R={R} h={h} w={w} cin={cin} cout={cout}")

@@ -112,3 +112,30 @@ def test_warp_bf16_large_coordinates(rng):
     # bf16 data tolerance, but NOT whole-pixel errors in the far columns
     np.testing.assert_allclose(np.asarray(out16, np.float32)[:, :, 300:500],
                                np.asarray(out32)[:, :, 300:500], atol=0.02)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+def test_warp_fuzz_random_shapes(rng, mode):
+    """Seeded sweep over random shapes and flow magnitudes (incl. far
+    out-of-bounds) vs the torch oracle.
+
+    Extents are >= 2: at a 1-pixel extent grid_sample's align_corners
+    normalization (the reference divides by max(dim-1, 1),
+    ema_vfi.py:165-166) degenerates — any flow in [0, 1] maps back to
+    pixel 0 — while our pixel-space warp treats fractional coordinates
+    there as partially out-of-bounds. Documented in ops/warp.py."""
+    for case in range(10):
+        b = int(rng.choice([1, 2]))
+        h = int(rng.integers(2, 14))
+        w = int(rng.integers(2, 14))
+        c = int(rng.integers(1, 5))
+        scale = float(rng.uniform(0.0, 2.0 * max(h, w)))
+        img = rng.standard_normal((b, h, w, c)).astype(np.float32)
+        flow = (rng.standard_normal((b, h, w, 2)) * scale).astype(np.float32)
+        ours = np.asarray(warp(jnp.asarray(img), jnp.asarray(flow), mode=mode))
+        timg = torch.from_numpy(img).permute(0, 3, 1, 2)
+        tflow = torch.from_numpy(flow).permute(0, 3, 1, 2)
+        theirs = _torch_warp(timg, tflow, mode).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(
+            ours, theirs, rtol=1e-5, atol=1e-5,
+            err_msg=f"case {case}: b={b} h={h} w={w} c={c} scale={scale:.1f}")

@@ -16,6 +16,14 @@ Design notes (TPU):
   gradients torch's grid_sampler backward computes).
 - No data-dependent shapes: everything is static-shape gather/where, safe
   under `jit`/`pjit`/`shard_map`.
+
+Known divergence: at a degenerate 1-pixel extent (H==1 or W==1),
+grid_sample's align_corners normalization (the reference divides by
+``max(dim-1, 1)``, ema_vfi.py:165-166) collapses — any flow component in
+[0, 1] maps back to pixel 0 and samples in-bounds — whereas this
+pixel-space implementation treats the fractional coordinate as partially
+out-of-bounds (zero-padded tap). Real frames never have 1-pixel extents;
+parity at extents >= 2 is tested exhaustively (tests/test_warp.py).
 """
 
 from __future__ import annotations
