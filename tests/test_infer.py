@@ -290,3 +290,43 @@ def test_tta_rejects_spatial():
         FrameInterpolator(params, mid_channels=8, num_blocks=1, bf16=False,
                           tta=True, spatial=True,
                           mesh=make_mesh(data=-1, spatial=2))
+
+
+def test_auto_scale_inference(rng):
+    """auto_scale: threshold -inf forces the half-res path (must equal the
+    manual downsample->midpoint->upsample oracle), +inf forces native
+    (bit-identical to no auto_scale); invalid configs fail loudly."""
+    from vfi_tpu.models import EMAVFI
+    from vfi_tpu.models.flownet import SimpleFlowNet
+    from vfi_tpu.ops.resize import resize_bilinear
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    fnet = SimpleFlowNet(mid_channels=8, levels=2)
+    fparams = jax.jit(fnet.init)(jax.random.PRNGKey(1), x, x)
+    kw = dict(mid_channels=8, num_blocks=1, bf16=False, flow_params=fparams,
+              flow_mid_channels=8, flow_levels=2)
+
+    plain = FrameInterpolator(params, **kw)
+    always = FrameInterpolator(params, auto_scale=-1.0, **kw)
+    never = FrameInterpolator(params, auto_scale=1e9, **kw)
+
+    f0 = rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
+    f1 = rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32)
+
+    native = np.asarray(plain.midpoints(f0, f1))
+    np.testing.assert_array_equal(np.asarray(never.midpoints(f0, f1)), native)
+
+    f0h = np.asarray(resize_bilinear(jnp.asarray(f0), (8, 8)))
+    f1h = np.asarray(resize_bilinear(jnp.asarray(f1), (8, 8)))
+    expected = np.asarray(resize_bilinear(plain.midpoints(f0h, f1h), (16, 16)))
+    got = np.asarray(always.midpoints(f0, f1))
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+    assert not np.allclose(got, native, atol=1e-3)  # the paths really differ
+
+    with pytest.raises(ValueError, match="auto_scale"):
+        FrameInterpolator(params, mid_channels=8, num_blocks=1, bf16=False,
+                          auto_scale=5.0)  # no flow_params
+    with pytest.raises(ValueError, match="auto_scale"):
+        FrameInterpolator(params, auto_scale=5.0, io_uint8=True, **kw)

@@ -149,6 +149,13 @@ def main(argv=None) -> int:
                              "Loads <model_path minus .npz>.flow.npz unless "
                              "--flow_model is given")
     parser.add_argument("--flow_prior_scale", type=float, default=0.5)
+    parser.add_argument("--auto_scale", type=float, default=None,
+                        metavar="PIXELS",
+                        help="scale-adaptive inference: when the flow "
+                             "estimator's p95 motion magnitude exceeds this "
+                             "many pixels, infer at half resolution and "
+                             "upsample (large-motion lever; needs "
+                             "--flow_prior or --flow_model)")
     args = parser.parse_args(argv)
 
     from vfi_tpu.cli.common import load_model_params, setup
@@ -186,7 +193,8 @@ def main(argv=None) -> int:
                                flow_params=flow_params,
                                flow_prior_scale=args.flow_prior_scale,
                                flow_mid_channels=args.flow_mid_channels,
-                               flow_levels=args.flow_levels)
+                               flow_levels=args.flow_levels,
+                               auto_scale=args.auto_scale)
     ds = TripletDataset(args.data_dir, args.frame_interval, augment=None,
                         normalize=False)
 

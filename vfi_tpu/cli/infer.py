@@ -97,6 +97,13 @@ def main(argv=None) -> int:
                             "(identity/hflip/vflip/temporal-swap); ~4x "
                             "compute for a small quality gain; not with "
                             "--spatial > 1")
+        p.add_argument("--auto_scale", type=float, default=None,
+                       metavar="PIXELS",
+                       help="scale-adaptive inference: when the flow "
+                            "estimator's p95 motion magnitude exceeds this "
+                            "many pixels, infer at half resolution and "
+                            "upsample (large-motion lever; needs "
+                            "--flow_prior)")
     args = parser.parse_args(argv)
 
     from vfi_tpu.cli.common import load_model_params, setup
@@ -112,7 +119,8 @@ def main(argv=None) -> int:
                    flow_prior_scale=args.flow_prior_scale,
                    flow_mid_channels=args.flow_mid_channels,
                    flow_levels=args.flow_levels,
-                   tta=args.tta)
+                   tta=args.tta,
+                   auto_scale=args.auto_scale)
 
     from vfi_tpu.infer.pair import FrameInterpolator
 

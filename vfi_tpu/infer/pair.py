@@ -74,7 +74,8 @@ class FrameInterpolator:
                  flow_mid_channels: int = 32,
                  flow_levels: int = 3,
                  tta: bool = False,
-                 io_uint8: bool = False):
+                 io_uint8: bool = False,
+                 auto_scale: Optional[float] = None):
         """`spatial=True` additionally shards frame height over the mesh's
         'spatial' axis (single-clip 1080p/4K mode; XLA inserts the conv/
         shift halo exchanges — see tests/test_parallel.py).
@@ -101,7 +102,18 @@ class FrameInterpolator:
         host<->device transfer bytes (the dominant per-request cost through
         a relay-attached TPU — docs/PERFORMANCE.md "Serving"). Numerically
         identical to host-side conversion for u8-sourced frames (PNG/video
-        decode), which is every serving input."""
+        decode), which is every serving input.
+
+        `auto_scale=<pixels>` enables scale-adaptive inference: per
+        `midpoints` call, the SimpleFlowNet estimates the pair's flow and,
+        when the 95th-percentile magnitude exceeds the threshold, the model
+        runs on 2x-downsampled frames and the midpoint is upsampled back.
+        Halving the resolution halves the apparent motion — large-motion
+        content moves back inside the stride-1 trunk's receptive field (the
+        measured Grove/Urban ceiling, docs/PERFORMANCE.md "Scale-adaptive
+        inference"), while small-motion content keeps the full-detail
+        native path. Requires `flow_params`; probe cost is one flow-net
+        forward (~2% of a full forward)."""
         from vfi_tpu.utils.convert import infer_model_dims
 
         if flow_params is not None and spatial:
@@ -110,6 +122,12 @@ class FrameInterpolator:
         if io_uint8 and spatial:
             raise ValueError("io_uint8 is not supported with spatial "
                              "sharding (the halo pipeline is float-typed)")
+        if auto_scale is not None and flow_params is None:
+            raise ValueError("auto_scale needs flow_params (the flow "
+                             "estimator provides the motion-magnitude probe)")
+        if auto_scale is not None and io_uint8:
+            raise ValueError("auto_scale is not supported with io_uint8")
+        self._auto_scale = auto_scale
         self.io_dtype = np.uint8 if io_uint8 else np.float32
         dims = infer_model_dims(params)
         self.model = EMAVFI(
@@ -208,6 +226,22 @@ class FrameInterpolator:
         self._fwd = jax.jit(fwd, in_shardings=(rep, bsh, bsh),
                             out_shardings=bsh)
 
+        if auto_scale is not None:
+            # Motion-magnitude probe for scale-adaptive inference: p95 of
+            # the estimator's flow over the (normalized) batch. Scalar out,
+            # decided host-side per midpoints() call — two static graphs
+            # (native + half-res), no data-dependent shapes inside jit.
+            def p95_flow(p, f0, f1):
+                n0, n1 = self._normalize(f0), self._normalize(f1)
+                fl = self.flow_module.apply(p["flow"], n0, n1)
+                mag = jnp.sqrt(jnp.square(fl[..., 0]) + jnp.square(fl[..., 1]))
+                return jnp.percentile(mag.astype(jnp.float32), 95.0)
+
+            from vfi_tpu.ops.resize import resize_bilinear as _rb
+
+            self._flow_p95 = jax.jit(p95_flow, in_shardings=(rep, bsh, bsh))
+            self._resize = jax.jit(_rb, static_argnums=1)
+
     @staticmethod
     def _normalize(f):
         mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 1, 1, 3)
@@ -241,6 +275,18 @@ class FrameInterpolator:
         if pad:
             f0 = np.concatenate([f0, np.repeat(f0[-1:], pad, axis=0)])
             f1 = np.concatenate([f1, np.repeat(f1[-1:], pad, axis=0)])
+        if self._auto_scale is not None:
+            jf0, jf1 = jnp.asarray(f0), jnp.asarray(f1)
+            if float(self._flow_p95(self.params, jf0, jf1)) > self._auto_scale:
+                # large motion: halve the resolution (halves the apparent
+                # flow, back inside the receptive field), upsample the
+                # midpoint back to native size
+                h, w = f0.shape[1], f0.shape[2]
+                out = self._fwd(self.params,
+                                self._resize(jf0, (h // 2, w // 2)),
+                                self._resize(jf1, (h // 2, w // 2)))
+                out = self._resize(out, (h, w))
+                return out[:b] if pad else out
         if self._spatial_manual:
             # The halo-exchange pipeline needs H % (4 * spatial) == 0
             # (strided context-encoder grid alignment) AND — for the Pallas
