@@ -19,7 +19,8 @@
 set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
-mkdir -p runs/queueM runs/queueM3 runs/queueN runs/queueO runs/queueP runs/queueQ
+mkdir -p runs/queueM runs/queueM3 runs/queueN runs/queueO runs/queueP \
+         runs/queueQ runs/queueR
 
 # --- 1. marker reconstruction from committed artifacts -----------------------
 [ -f artifacts/q8r2_eval.json ] && touch runs/queueM/COMPLETE runs/queueM3/COMPLETE
@@ -36,6 +37,11 @@ fi
 [ -f artifacts/verdict.json ] && touch runs/queueP/COMPLETE
 if [ -f artifacts/q10_eval.json ] || [ -f artifacts/q10_eval_rejected.json ]; then
   touch runs/queueQ/COMPLETE
+fi
+[ -f artifacts/autoscale_eval.json ] && touch runs/queueR/auto.done
+[ -f artifacts/autoscale_tta_eval.json ] && touch runs/queueR/autotta.done
+if [ -f runs/queueR/auto.done ] && [ -f runs/queueR/autotta.done ]; then
+  touch runs/queueR/COMPLETE
 fi
 
 running() { ps -o args= -e | grep -v grep | grep -qF "tools/$1.sh"; }
@@ -59,7 +65,7 @@ else
 fi
 
 # --- 3. marker-pollers ---------------------------------------------------------
-for q in queueP queueQ; do
+for q in queueP queueQ queueR; do
   if [ -f "runs/$q/COMPLETE" ]; then
     echo "$q complete"
   elif running "$q"; then
