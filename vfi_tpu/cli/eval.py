@@ -208,13 +208,17 @@ def main(argv=None) -> int:
 
     metric_fn = jax.jit(lambda p, t: (psnr(p, t), ssim(p, t)))
     per_scene = defaultdict(lambda: {"psnr": [], "ssim": []})
-    # group triplets by spatial shape so batches stay static-shaped
+    # group triplets by spatial shape so batches stay static-shaped; with
+    # auto_scale also by scene, so the per-batch motion-magnitude probe
+    # never decides one scene's route from another scene's flow
     by_shape = defaultdict(list)
     for t in ds.triplets:
-        shape = load_image(t[0]).shape
-        by_shape[shape].append(t)
+        key = load_image(t[0]).shape
+        if args.auto_scale is not None:
+            key = (os.path.basename(os.path.dirname(t[0])), key)
+        by_shape[key].append(t)
 
-    for shape, triplets in by_shape.items():
+    for _, triplets in by_shape.items():
         for i in range(0, len(triplets), args.batch_size):
             chunk = triplets[i:i + args.batch_size]
             f0 = np.stack([load_image(t[0]) for t in chunk])
