@@ -207,7 +207,8 @@ def main(argv=None) -> int:
     excluded = [s for s in all_scenes if s not in covered]
 
     metric_fn = jax.jit(lambda p, t: (psnr(p, t), ssim(p, t)))
-    per_scene = defaultdict(lambda: {"psnr": [], "ssim": []})
+    per_scene = defaultdict(lambda: {"psnr": [], "ssim": [], "scaled": 0,
+                                     "batches": 0})
     # group triplets by spatial shape so batches stay static-shaped; with
     # auto_scale also by scene, so the per-batch motion-magnitude probe
     # never decides one scene's route from another scene's flow
@@ -224,16 +225,25 @@ def main(argv=None) -> int:
             f0 = np.stack([load_image(t[0]) for t in chunk])
             gt = np.stack([load_image(t[1]) for t in chunk])
             f1 = np.stack([load_image(t[2]) for t in chunk])
+            scaled_before = (interp.auto_scale_stats["scaled"]
+                             if args.auto_scale is not None else 0)
             pred = interp.midpoints(f0, f1)
+            routed = (interp.auto_scale_stats["scaled"] - scaled_before
+                      if args.auto_scale is not None else 0)
             p, s = metric_fn(pred, gt)
             for k, t in enumerate(chunk):
                 scene = os.path.basename(os.path.dirname(t[0]))
                 per_scene[scene]["psnr"].append(float(p[k]))
                 per_scene[scene]["ssim"].append(float(s[k]))
+            scene0 = os.path.basename(os.path.dirname(chunk[0][0]))
+            per_scene[scene0]["scaled"] += routed
+            per_scene[scene0]["batches"] += 1
 
     rows = {scene: {"psnr": float(np.mean(v["psnr"])),
                     "ssim": float(np.mean(v["ssim"])),
-                    "n": len(v["psnr"])}
+                    "n": len(v["psnr"]),
+                    **({"auto_scaled": f'{v["scaled"]}/{v["batches"]}'}
+                       if args.auto_scale is not None else {})}
             for scene, v in sorted(per_scene.items())}
     mean_psnr = float(np.mean([r["psnr"] for r in rows.values()]))
     mean_ssim = float(np.mean([r["ssim"] for r in rows.values()]))

@@ -128,6 +128,8 @@ class FrameInterpolator:
         if auto_scale is not None and io_uint8:
             raise ValueError("auto_scale is not supported with io_uint8")
         self._auto_scale = auto_scale
+        # routing observability: per-call probe values + scaled-path count
+        self.auto_scale_stats = {"probes": [], "scaled": 0}
         self.io_dtype = np.uint8 if io_uint8 else np.float32
         dims = infer_model_dims(params)
         self.model = EMAVFI(
@@ -277,7 +279,10 @@ class FrameInterpolator:
             f1 = np.concatenate([f1, np.repeat(f1[-1:], pad, axis=0)])
         if self._auto_scale is not None:
             jf0, jf1 = jnp.asarray(f0), jnp.asarray(f1)
-            if float(self._flow_p95(self.params, jf0, jf1)) > self._auto_scale:
+            p95 = float(self._flow_p95(self.params, jf0, jf1))
+            self.auto_scale_stats["probes"].append(p95)
+            if p95 > self._auto_scale:
+                self.auto_scale_stats["scaled"] += 1
                 # large motion: halve the resolution (halves the apparent
                 # flow, back inside the receptive field), upsample the
                 # midpoint back to native size
