@@ -330,3 +330,32 @@ def test_auto_scale_inference(rng):
                           auto_scale=5.0)  # no flow_params
     with pytest.raises(ValueError, match="auto_scale"):
         FrameInterpolator(params, auto_scale=5.0, io_uint8=True, **kw)
+
+
+def test_auto_scale_composes_with_tta(rng):
+    """auto_scale + tta (the maximal-quality eval config): the forced-on
+    scaled path must equal resize(tta_midpoints(half inputs))."""
+    from vfi_tpu.models import EMAVFI
+    from vfi_tpu.models.flownet import SimpleFlowNet
+    from vfi_tpu.ops.resize import resize_bilinear
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    fnet = SimpleFlowNet(mid_channels=8, levels=2)
+    fparams = jax.jit(fnet.init)(jax.random.PRNGKey(1), x, x)
+    kw = dict(mid_channels=8, num_blocks=1, bf16=False, flow_params=fparams,
+              flow_mid_channels=8, flow_levels=2, tta=True)
+
+    tta = FrameInterpolator(params, **kw)
+    auto = FrameInterpolator(params, auto_scale=-1.0, **kw)
+
+    f0 = rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+    f1 = rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32)
+    f0h = np.asarray(resize_bilinear(jnp.asarray(f0), (8, 8)))
+    f1h = np.asarray(resize_bilinear(jnp.asarray(f1), (8, 8)))
+    expected = np.asarray(resize_bilinear(tta.midpoints(f0h, f1h), (16, 16)))
+    got = np.asarray(auto.midpoints(f0, f1))
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+    assert auto.auto_scale_stats["scaled"] == 1
+    assert len(auto.auto_scale_stats["probes"]) == 1
