@@ -181,8 +181,14 @@ def interpolate_video(
             writer.write(_to_u8(prev, swap_rgb, False))
             written += 1
         writer.release()
-        return {"frames_read": read, "frames_written": written,
-                "factor": factor, "output_fps": out_fps,
-                "size": (w, h)}
+        stats = {"frames_read": read, "frames_written": written,
+                 "factor": factor, "output_fps": out_fps,
+                 "size": (w, h)}
+        probes = getattr(interpolator, "auto_scale_stats",
+                         {"probes": []})["probes"]
+        if probes:
+            stats["auto_scaled_batches"] = (
+                f'{interpolator.auto_scale_stats["scaled"]}/{len(probes)}')
+        return stats
     finally:
         cap.release()
