@@ -20,7 +20,7 @@ set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
 mkdir -p runs/queueM runs/queueM3 runs/queueN runs/queueO runs/queueP \
-         runs/queueQ runs/queueR
+         runs/queueQ runs/queueR runs/queueS
 
 # --- 1. marker reconstruction from committed artifacts -----------------------
 [ -f artifacts/q8r2_eval.json ] && touch runs/queueM/COMPLETE runs/queueM3/COMPLETE
@@ -42,6 +42,9 @@ fi
 [ -f artifacts/autoscale_tta_eval.json ] && touch runs/queueR/autotta.done
 if [ -f runs/queueR/auto.done ] && [ -f runs/queueR/autotta.done ]; then
   touch runs/queueR/COMPLETE
+fi
+if [ -f artifacts/q11_eval.json ] || [ -f artifacts/q11_eval_rejected.json ]; then
+  touch runs/queueS/COMPLETE
 fi
 
 running() { ps -o args= -e | grep -v grep | grep -qF "tools/$1.sh"; }
@@ -65,7 +68,7 @@ else
 fi
 
 # --- 3. marker-pollers ---------------------------------------------------------
-for q in queueP queueQ queueR; do
+for q in queueP queueQ queueR queueS; do
   if [ -f "runs/$q/COMPLETE" ]; then
     echo "$q complete"
   elif running "$q"; then
