@@ -176,7 +176,7 @@ def test_flownet_shapes_and_zero_flow_identity(rng):
 def test_temporal_loss_with_flownet(rng):
     """The full 5-term objective is trainable with SimpleFlowNet plugged in
     (the reference never could: estimator missing, train.py:72-80)."""
-    
+
 
     from vfi_tpu.losses import LossWeights, total_loss
     from vfi_tpu.models.flownet import SimpleFlowNet

@@ -39,7 +39,7 @@ if [ ! -f runs/queueN/config3.done ]; then
     --num-epochs 4 \
     --checkpoint_path runs/config3/ckpt --best_model_path runs/config3/best \
     && touch runs/queueN/config3.done
-  if [ -f runs/config3/ckpt/metrics.jsonl ]; then
+  if [ -f runs/queueN/config3.done ] && [ -s runs/config3/ckpt/metrics.jsonl ]; then
     cp runs/config3/ckpt/metrics.jsonl artifacts/config3_demo_metrics.jsonl
     git add artifacts/config3_demo_metrics.jsonl && \
       git commit -q -m "BASELINE config-3 demo: batch 16, 256^2, full 5-term loss on hardware" || true
@@ -54,9 +54,11 @@ if [ ! -f runs/queueN/video1080.done ]; then
     --flow_model artifacts/emavfi_q7_best.flow.npz \
     --out_json artifacts/video_upconv_1080p.json \
     && touch runs/queueN/video1080.done
-  echo "1080p demo:"; cat artifacts/video_upconv_1080p.json
-  git add artifacts/video_upconv_1080p.json && \
-    git commit -q -m "BASELINE config-4 demo: 1080p clip 2x->4x upconversion artifact" || true
+  if [ -f runs/queueN/video1080.done ] && [ -s artifacts/video_upconv_1080p.json ]; then
+    echo "1080p demo:"; cat artifacts/video_upconv_1080p.json
+    git add artifacts/video_upconv_1080p.json && \
+      git commit -q -m "BASELINE config-4 demo: 1080p clip 2x->4x upconversion artifact" || true
+  fi
 fi
 
 # --- step 3: serving re-bench ---------------------------------------------------
@@ -65,10 +67,12 @@ if [ ! -f runs/queueN/serve.done ]; then
     --model_path artifacts/emavfi_q2_best.npz --size 720x1280 \
     --clients 16 --requests 64 > runs/queueN/serve_bench.json \
     && touch runs/queueN/serve.done
-  cp runs/queueN/serve_bench.json artifacts/serve_bench_session11.json
-  echo "serve bench:"; cat artifacts/serve_bench_session11.json
-  git add artifacts/serve_bench_session11.json && \
-    git commit -q -m "Serving re-bench on current toolchain (720p raw, in-process)" || true
+  if [ -f runs/queueN/serve.done ] && [ -s runs/queueN/serve_bench.json ]; then
+    cp runs/queueN/serve_bench.json artifacts/serve_bench_session11.json
+    echo "serve bench:"; cat artifacts/serve_bench_session11.json
+    git add artifacts/serve_bench_session11.json && \
+      git commit -q -m "Serving re-bench on current toolchain (720p raw, in-process)" || true
+  fi
 fi
 
 echo "=== queueN COMPLETE $(date -u +%FT%TZ) ==="

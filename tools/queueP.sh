@@ -71,8 +71,13 @@ best_ind = plan["best_individual"]
 rows = []
 for s in ("soup_all", "soup_top2"):
     p = f"runs/queueP/{s}_eval.json"
-    if os.path.exists(p):
-        rows.append((json.load(open(p))["mean_psnr"], s))
+    # only evals whose .done marker exists: a failed/timed-out eval leaves
+    # a truncated json that must not crash the verdict or win promotion
+    if os.path.exists(p) and os.path.exists(p.replace("_eval.json", "_eval.done")):
+        try:
+            rows.append((json.load(open(p))["mean_psnr"], s))
+        except Exception:
+            pass
 rows.sort(reverse=True)
 json.dump({"souped": rows, "best_individual": best_ind},
           open("runs/queueP/verdict.json", "w"))

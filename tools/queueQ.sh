@@ -87,21 +87,25 @@ if [ -f runs/queueQ/eval.done ] && [ ! -f runs/queueQ/secured ]; then
         artifacts/q10_eval.json
     git commit -q -m "Secure q10 polish fine-tune (beats its warm-start init)" || true
     touch runs/queueQ/secured
-    if [ ! -f runs/queueQ/tta.done ]; then
-      timeout 7200 python eval.py --data-dir data/processed/val \
-        --model_path artifacts/emavfi_q10_best.npz \
-        --flow_model artifacts/emavfi_q10_best.flow.npz --flow_prior \
-        --dcn_max_offset 2 --warp_max_flow 16 --use_pallas --tta --json \
-        > runs/queueQ/q10_tta_eval.json && touch runs/queueQ/tta.done
-      cp runs/queueQ/q10_tta_eval.json artifacts/q10_tta_eval.json
-      git add artifacts/q10_tta_eval.json && \
-        git commit -q -m "TTA eval of the q10 polish flagship" || true
-    fi
   else
     cp runs/queueQ/q10_eval.json artifacts/q10_eval_rejected.json
     git add artifacts/q10_eval_rejected.json
     git commit -q -m "q10 polish fine-tune did not beat its init (eval on record)" || true
   fi
+fi
+# TTA lives OUTSIDE the secured guard so a failed/timed-out first attempt
+# stays retryable on re-run; cp/commit only fire on a successful eval.
+if [ -f runs/queueQ/secured ] && [ ! -f runs/queueQ/tta.done ]; then
+  timeout 7200 python eval.py --data-dir data/processed/val \
+    --model_path artifacts/emavfi_q10_best.npz \
+    --flow_model artifacts/emavfi_q10_best.flow.npz --flow_prior \
+    --dcn_max_offset 2 --warp_max_flow 16 --use_pallas --tta --json \
+    > runs/queueQ/q10_tta_eval.json && touch runs/queueQ/tta.done
+fi
+if [ -f runs/queueQ/tta.done ] && [ ! -f artifacts/q10_tta_eval.json ]; then
+  cp runs/queueQ/q10_tta_eval.json artifacts/q10_tta_eval.json \
+    && git add artifacts/q10_tta_eval.json \
+    && git commit -q -m "TTA eval of the q10 polish flagship" || true
 fi
 
 echo "=== queueQ COMPLETE $(date -u +%FT%TZ) ==="

@@ -51,10 +51,15 @@ if [ ! -f runs/queueR/auto.done ]; then
     --dcn_max_offset 2 --warp_max_flow 16 --use_pallas \
     --auto_scale 7.5 --json > runs/queueR/autoscale_eval.json \
     && touch runs/queueR/auto.done
+fi
+# commit only on success: an unguarded cp after a failed/timed-out eval
+# would commit a truncated artifact that relaunch_chains.sh then reads as
+# step-complete, permanently skipping the retry
+if [ -f runs/queueR/auto.done ] && [ ! -f artifacts/autoscale_eval.json ]; then
   echo "auto-scale eval:"; cat runs/queueR/autoscale_eval.json
-  cp runs/queueR/autoscale_eval.json artifacts/autoscale_eval.json
-  git add artifacts/autoscale_eval.json
-  git commit -q -m "Full-val eval of scale-adaptive inference (auto_scale 7.5) on the flagship" || true
+  cp runs/queueR/autoscale_eval.json artifacts/autoscale_eval.json \
+    && git add artifacts/autoscale_eval.json \
+    && git commit -q -m "Full-val eval of scale-adaptive inference (auto_scale 7.5) on the flagship" || true
 fi
 
 if [ ! -f runs/queueR/autotta.done ]; then
@@ -63,10 +68,12 @@ if [ ! -f runs/queueR/autotta.done ]; then
     --dcn_max_offset 2 --warp_max_flow 16 --use_pallas \
     --auto_scale 7.5 --tta --json > runs/queueR/autoscale_tta_eval.json \
     && touch runs/queueR/autotta.done
+fi
+if [ -f runs/queueR/autotta.done ] && [ ! -f artifacts/autoscale_tta_eval.json ]; then
   echo "auto-scale + TTA eval:"; cat runs/queueR/autoscale_tta_eval.json
-  cp runs/queueR/autoscale_tta_eval.json artifacts/autoscale_tta_eval.json
-  git add artifacts/autoscale_tta_eval.json
-  git commit -q -m "Full-val eval of auto_scale + TTA (maximal inference-time quality)" || true
+  cp runs/queueR/autoscale_tta_eval.json artifacts/autoscale_tta_eval.json \
+    && git add artifacts/autoscale_tta_eval.json \
+    && git commit -q -m "Full-val eval of auto_scale + TTA (maximal inference-time quality)" || true
 fi
 
 echo "=== queueR COMPLETE $(date -u +%FT%TZ) ==="

@@ -2,7 +2,7 @@
 # Round-2 session-12 chain, terminal stage: wide-radius exploration run to
 # use the otherwise-idle TPU tail of the round.
 #
-#   0. Wait for runs/queueR/COMPLETE.
+#   0. Wait for runs/queueN2/COMPLETE (the demo re-run stage after queueR).
 #   1. q11 = 400-epoch cosine restart at lr 2e-4 (a much wider exploration
 #      radius than queueQ's 3e-5 polish) from the best of the whole
 #      lineage, at the proven batch-16/accum-8/320^2 flow-prior recipe.
@@ -19,13 +19,13 @@ exec >>"$LOG" 2>&1
 echo "=== queueS start $(date -u +%FT%TZ) ==="
 
 for i in $(seq 1 600); do   # up to 10 h
-  [ -f runs/queueR/COMPLETE ] && break
+  [ -f runs/queueN2/COMPLETE ] && break
   sleep 60
 done
-if [ ! -f runs/queueR/COMPLETE ]; then
-  echo "queueR never completed - aborting queueS"; exit 1
+if [ ! -f runs/queueN2/COMPLETE ]; then
+  echo "queueN2 never completed - aborting queueS"; exit 1
 fi
-echo "queueR complete, proceeding $(date -u +%FT%TZ)"
+echo "queueN2 complete, proceeding $(date -u +%FT%TZ)"
 
 INIT=$(python - <<'EOF'
 import json, os

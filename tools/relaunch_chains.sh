@@ -19,35 +19,47 @@
 set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
-mkdir -p runs/queueM runs/queueM3 runs/queueN runs/queueO runs/queueP \
-         runs/queueQ runs/queueR runs/queueS
+mkdir -p runs/queueM runs/queueM3 runs/queueN runs/queueN2 runs/queueO \
+         runs/queueP runs/queueQ runs/queueR runs/queueS
 
 # --- 1. marker reconstruction from committed artifacts -----------------------
-[ -f artifacts/q8r2_eval.json ] && touch runs/queueM/COMPLETE runs/queueM3/COMPLETE
-[ -f artifacts/config3_demo_metrics.jsonl ] && touch runs/queueN/config3.done
-[ -f artifacts/video_upconv_1080p.json ] && touch runs/queueN/video1080.done
-[ -f artifacts/serve_bench_session11.json ] && touch runs/queueN/serve.done
+# -s (non-empty), not -f: a failed step can leave a truncated/empty artifact
+# behind, and reconstructing its marker from that would permanently skip the
+# retry (bitten once: the 16:58 serve bench committed a 0-byte JSON after a
+# TPU worker crash)
+[ -s artifacts/q8r2_eval.json ] && touch runs/queueM/COMPLETE runs/queueM3/COMPLETE
+[ -s artifacts/config3_demo_metrics.jsonl ] && touch runs/queueN/config3.done
+[ -s artifacts/video_upconv_1080p.json ] && touch runs/queueN/video1080.done
+[ -s artifacts/serve_bench_session11.json ] && touch runs/queueN/serve.done
 if [ -f runs/queueN/config3.done ] && [ -f runs/queueN/video1080.done ] \
     && [ -f runs/queueN/serve.done ]; then
   touch runs/queueN/COMPLETE
 fi
 # q9's terminal evidence is its committed eval (the TTA step is optional
 # polish; queueP/queueQ TTA the lineage best anyway)
-[ -f artifacts/q9_eval.json ] && touch runs/queueO/COMPLETE
-[ -f artifacts/verdict.json ] && touch runs/queueP/COMPLETE
-if [ -f artifacts/q10_eval.json ] || [ -f artifacts/q10_eval_rejected.json ]; then
+[ -s artifacts/q9_eval.json ] && touch runs/queueO/COMPLETE
+[ -s artifacts/verdict.json ] && touch runs/queueP/COMPLETE
+if [ -s artifacts/q10_eval.json ] || [ -s artifacts/q10_eval_rejected.json ]; then
   touch runs/queueQ/COMPLETE
 fi
-[ -f artifacts/autoscale_eval.json ] && touch runs/queueR/auto.done
-[ -f artifacts/autoscale_tta_eval.json ] && touch runs/queueR/autotta.done
+[ -s artifacts/autoscale_eval.json ] && touch runs/queueR/auto.done
+[ -s artifacts/autoscale_tta_eval.json ] && touch runs/queueR/autotta.done
 if [ -f runs/queueR/auto.done ] && [ -f runs/queueR/autotta.done ]; then
   touch runs/queueR/COMPLETE
 fi
-if [ -f artifacts/q11_eval.json ] || [ -f artifacts/q11_eval_rejected.json ]; then
+if [ -s artifacts/q11_eval.json ] || [ -s artifacts/q11_eval_rejected.json ]; then
   touch runs/queueS/COMPLETE
 fi
+[ -s artifacts/video_upconv_1080p.json ] && touch runs/queueN2/video1080.done
+[ -s artifacts/serve_bench_session11.json ] && touch runs/queueN2/serve.done
+if [ -f runs/queueN2/video1080.done ] && [ -f runs/queueN2/serve.done ]; then
+  touch runs/queueN2/COMPLETE
+fi
 
-running() { ps -o args= -e | grep -v grep | grep -qF "tools/$1.sh"; }
+# exact argv match ("bash tools/<q>.sh"): a loose substring grep would
+# count an editor/less/tail holding the script open as "running" and
+# silently skip the relaunch this script exists to perform
+running() { ps -eo args= | awk -v s="tools/$1.sh" '$1=="bash" && $2==s {found=1} END {exit !found}'; }
 launch() {
   nohup setsid bash "tools/$1.sh" >/dev/null 2>&1 &
   echo "$!" > "/tmp/$1.pid"
@@ -68,7 +80,7 @@ else
 fi
 
 # --- 3. marker-pollers ---------------------------------------------------------
-for q in queueP queueQ queueR queueS; do
+for q in queueP queueQ queueR queueN2 queueS; do
   if [ -f "runs/$q/COMPLETE" ]; then
     echo "$q complete"
   elif running "$q"; then

@@ -75,6 +75,9 @@ def main(argv=None) -> int:
     ap.add_argument("--flow_model", default=None)
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--batch_pairs", type=int, default=4)
+    ap.add_argument("--dcn_tile_w", type=int, default=None,
+                    help="explicit Pallas column-tile width (smaller kernel "
+                         "working set at large widths)")
     ap.add_argument("--workdir", default="runs/video_demo")
     ap.add_argument("--out_json", default="artifacts/video_upconv_demo.json")
     args = ap.parse_args(argv)
@@ -96,6 +99,8 @@ def main(argv=None) -> int:
     ]
     if args.flow_model:
         cmd += ["--flow_prior", "--flow_model", args.flow_model]
+    if args.dcn_tile_w is not None:
+        cmd += ["--dcn_tile_w", str(args.dcn_tile_w)]
     t0 = time.time()
     subprocess.run(cmd, check=True, cwd=repo)
     wall = time.time() - t0

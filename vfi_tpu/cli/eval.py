@@ -155,12 +155,15 @@ def main(argv=None) -> int:
                              "estimator's p95 motion magnitude exceeds this "
                              "many pixels, infer at half resolution and "
                              "upsample (large-motion lever; needs "
-                             "--flow_prior or --flow_model)")
+                             "--flow_prior)")
     args = parser.parse_args(argv)
 
     from vfi_tpu.cli.common import load_model_params, setup
     setup()
 
+    if args.auto_scale is not None and not args.flow_prior:
+        parser.error("--auto_scale requires --flow_prior (the flow "
+                     "estimator provides the motion-magnitude probe)")
     if args.flow_model and not args.flow_prior:
         return _flow_main(args)
     if not args.model_path:

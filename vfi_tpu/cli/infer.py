@@ -108,6 +108,17 @@ def main(argv=None) -> int:
 
     from vfi_tpu.cli.common import load_model_params, setup
     setup()
+    if getattr(args, "auto_scale", None) is not None:
+        if args.cmd == "videos":
+            # the multi-clip batcher coalesces pairs ACROSS clips into one
+            # device batch; a single per-batch motion probe would route one
+            # clip's frames by another clip's flow (the cross-scene
+            # contamination eval.py avoids by grouping per scene)
+            parser.error("--auto_scale is not supported with `videos` "
+                         "(cross-clip batches share one motion probe); "
+                         "run clips separately with `video`")
+        if not args.flow_prior:
+            parser.error("--auto_scale requires --flow_prior")
     params = load_model_params(args.model_path)
     flow_params = None
     if args.flow_prior:

@@ -76,6 +76,8 @@ def interpolate_video(
     """
     import cv2
 
+    start = getattr(interpolator, "auto_scale_stats", {"probes": [], "scaled": 0})
+    as_probes0, as_scaled0 = len(start["probes"]), start["scaled"]
     swap_rgb = not reference_compat
     cap = cv2.VideoCapture(input_video)
     if not cap.isOpened():
@@ -184,11 +186,12 @@ def interpolate_video(
         stats = {"frames_read": read, "frames_written": written,
                  "factor": factor, "output_fps": out_fps,
                  "size": (w, h)}
-        probes = getattr(interpolator, "auto_scale_stats",
-                         {"probes": []})["probes"]
-        if probes:
-            stats["auto_scaled_batches"] = (
-                f'{interpolator.auto_scale_stats["scaled"]}/{len(probes)}')
+        # per-run delta: auto_scale_stats are engine-lifetime cumulative and
+        # the engine is reusable across videos (persistent jit cache)
+        end = getattr(interpolator, "auto_scale_stats", {"probes": [], "scaled": 0})
+        d_probes = len(end["probes"]) - as_probes0
+        if d_probes:
+            stats["auto_scaled_batches"] = f'{end["scaled"] - as_scaled0}/{d_probes}'
         return stats
     finally:
         cap.release()
