@@ -331,8 +331,12 @@ class FrameInterpolator:
             return [mid]
         if self.reference_compat:
             return [mid] * factor
-        left = self.recursive(f0, np.asarray(mid), factor // 2)
-        right = self.recursive(np.asarray(mid), f1, factor // 2)
+        # pass the device array straight back in: midpoints only needs host
+        # arrays when it pads, so np.asarray here cost a full-batch D2H+H2D
+        # round trip per recursion level (the crash site of the 1080p demo
+        # was exactly this transfer under HBM pressure)
+        left = self.recursive(f0, mid, factor // 2)
+        right = self.recursive(mid, f1, factor // 2)
         frames = left + [mid] + right
         if len(frames) > factor:  # drop extras uniformly (even factor)
             keep = np.linspace(0, len(frames) - 1, factor).round().astype(int)
