@@ -7,6 +7,9 @@
 # Mitigations vs the crashed attempt: batch_pairs 2 (halves peak HBM at
 # 1080p x flow-prior), explicit dcn_tile_w 256 (the column-tiled kernel's
 # working set is far smaller at 1920-wide), q9 weights.
+# Serve bench runs FIRST (proven-safe config); the 1080p demo — the step
+# that crashed the TPU worker — runs last so a repeat crash cannot take
+# the serve bench down with it.
 # Idempotent via step markers in runs/queueN2/.
 set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
@@ -25,6 +28,21 @@ if [ ! -f runs/queueR/COMPLETE ]; then
 fi
 echo "queueR complete, proceeding $(date -u +%FT%TZ)"
 
+if [ ! -f runs/queueN2/serve.done ]; then
+  timeout 3600 python tools/bench_serve.py --inprocess --raw --use_pallas \
+    --model_path artifacts/emavfi_q2_best.npz --size 720x1280 \
+    --clients 16 --requests 64 > runs/queueN2/serve_bench.json \
+    && touch runs/queueN2/serve.done
+  if [ -f runs/queueN2/serve.done ] && [ -s runs/queueN2/serve_bench.json ]; then
+    cp runs/queueN2/serve_bench.json artifacts/serve_bench_session11.json
+    echo "serve bench:"; cat artifacts/serve_bench_session11.json
+    git add artifacts/serve_bench_session11.json && \
+      git commit -q -m "Serving bench on current toolchain (720p raw, in-process; re-run)" || true
+  else
+    echo "serve bench failed again - leaving unmarked for a future retry"
+  fi
+fi
+
 if [ ! -f runs/queueN2/video1080.done ]; then
   timeout 3600 python tools/video_demo.py \
     --height 1080 --width 1920 --frames 24 --fps 15 --target_fps 60 \
@@ -39,21 +57,6 @@ if [ ! -f runs/queueN2/video1080.done ]; then
       git commit -q -m "BASELINE config-4 demo: 1080p clip upconversion artifact (re-run)" || true
   else
     echo "1080p demo failed again - leaving unmarked for a future retry"
-  fi
-fi
-
-if [ ! -f runs/queueN2/serve.done ]; then
-  timeout 3600 python tools/bench_serve.py --inprocess --raw --use_pallas \
-    --model_path artifacts/emavfi_q2_best.npz --size 720x1280 \
-    --clients 16 --requests 64 > runs/queueN2/serve_bench.json \
-    && touch runs/queueN2/serve.done
-  if [ -f runs/queueN2/serve.done ] && [ -s runs/queueN2/serve_bench.json ]; then
-    cp runs/queueN2/serve_bench.json artifacts/serve_bench_session11.json
-    echo "serve bench:"; cat artifacts/serve_bench_session11.json
-    git add artifacts/serve_bench_session11.json && \
-      git commit -q -m "Serving bench on current toolchain (720p raw, in-process; re-run)" || true
-  else
-    echo "serve bench failed again - leaving unmarked for a future retry"
   fi
 fi
 

@@ -27,6 +27,30 @@ if [ ! -f runs/queueN2/COMPLETE ]; then
 fi
 echo "queueN2 complete, proceeding $(date -u +%FT%TZ)"
 
+# --- round-clock guard -----------------------------------------------------
+# The driver benches on the real chip at round end; a training run still
+# holding the TPU then would contend with (or crash) the recorded headline.
+# Estimate remaining round time from the driver's PROGRESS heartbeat
+# (wall_s, ~12 h budget) and size q11 to fit — or skip it entirely,
+# leaving no COMPLETE marker so the round-3 relauncher re-runs this stage.
+REMAIN=$(python - <<'EOF'
+import json, time
+rows = [json.loads(l) for l in open("PROGRESS.jsonl") if l.strip()]
+last = rows[-1]
+elapsed = last["wall_s"] + (time.time() - last["ts"])
+print(max(0, int(43200 - elapsed)))
+EOF
+)
+echo "round time remaining ~${REMAIN}s"
+if [ "$REMAIN" -lt 5400 ]; then
+  echo "not enough round time for q11 - leaving the stage for next round"
+  exit 0
+fi
+EPOCHS=$(( (REMAIN - 2400) / 35 ))
+[ "$EPOCHS" -gt 400 ] && EPOCHS=400
+TLIMIT=$(( REMAIN - 2400 ))
+echo "q11 sized to $EPOCHS epochs (timeout ${TLIMIT}s)"
+
 INIT=$(python - <<'EOF'
 import json, os
 cands = []
@@ -55,14 +79,14 @@ echo "q11 warm start: $INIT (best individual $INIT_PSNR dB)"
 if [ ! -f runs/queueS/q11.done ]; then
   nohup bash tools/ckpt_watcher.sh q11 runs/q11/best 600 >/dev/null 2>&1 &
   echo $! > /tmp/q11_watcher.pid
-  timeout 16200 python train.py --config config/train_config.yaml \
+  timeout "$TLIMIT" python train.py --config config/train_config.yaml \
     --batch_size 16 --accum_steps 8 --remat true \
     --random_rotation false --consistent_jitter true \
     --crop_size "[320,320]" --target_unit_range true \
     --best_metric val_psnr --dcn_max_offset 2 --warp_max_flow 16 \
     --use_pallas true --ema_decay 0.998 --flow_prior true \
     --lr_schedule cosine --learning_rate 2e-4 --cosine_min_lr 5e-6 \
-    --num-epochs 400 \
+    --num-epochs "$EPOCHS" \
     --init_model_path "$INIT" --init_flow_path "$INITF" \
     --checkpoint_path runs/q11/ckpt --best_model_path runs/q11/best \
     && touch runs/queueS/q11.done
