@@ -57,6 +57,48 @@ def test_batcher_coalesces_and_pads(rng):
     assert s["requests"] == 3 and s["batches"] == 1 and s["padded_items"] == 1
 
 
+def test_batcher_pixel_budget_caps_launches(rng):
+    """max_px_per_launch (the HBM guard) shrinks a bucket's launch batch.
+
+    Pins the fix for the measured serving OOM: batch 8 x 720p needed 19.3G
+    of 15.75G HBM; the guard must cap the per-bucket batch (and the pad
+    target, and readiness) by pixel budget, with floor 1 for frames larger
+    than the whole budget."""
+    eng = RecordingEngine()
+    # 8x8 frames = 64 px; budget 128 px -> launch size 2 (< max_batch 4)
+    mb = MicroBatcher(eng, max_batch=4, max_delay_ms=250.0,
+                      max_px_per_launch=128)
+    try:
+        assert mb.launch_size((8, 8)) == 2
+        assert mb.launch_size((16, 16)) == 1      # 256 px > budget -> floor 1
+        assert mb.launch_size((2, 2)) == 4        # tiny frames keep max_batch
+        f = _frames(rng, 6)
+        futs = [mb.submit(f[i], f[i + 3]) for i in range(3)]
+        outs = [fu.result(timeout=10) for fu in futs]
+        for i in range(3):
+            np.testing.assert_allclose(outs[i], (f[i] + f[i + 3]) / 2,
+                                       rtol=1e-6)
+    finally:
+        mb.close()
+    # 3 requests, cap 2 -> one full launch of 2, one padded launch of 2;
+    # nothing ever launches above the pixel budget.
+    assert eng.batch_shapes == [(2, 8, 8, 3), (2, 8, 8, 3)]
+    s = mb.stats.snapshot()
+    assert s["requests"] == 3 and s["batches"] == 2 and s["padded_items"] == 1
+
+
+def test_batcher_pixel_budget_warmup_shape(rng):
+    """warmup compiles the capped steady-state shape, not max_batch."""
+    eng = RecordingEngine()
+    mb = MicroBatcher(eng, max_batch=8, max_delay_ms=50.0,
+                      max_px_per_launch=128)
+    try:
+        mb.warmup(8, 8)
+    finally:
+        mb.close()
+    assert eng.batch_shapes == [(2, 8, 8, 3)]
+
+
 def test_batcher_shape_buckets(rng):
     """Different (H, W) never share a device batch."""
     eng = RecordingEngine()
@@ -316,6 +358,7 @@ def test_ready_bucket_earliest_deadline_first():
 
     mb = MicroBatcher.__new__(MicroBatcher)  # picker is pure given fields
     mb.max_batch = 2
+    mb.max_px = None
     mb.max_delay = 0.05
     mb._closed = False
 

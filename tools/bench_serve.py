@@ -135,6 +135,8 @@ def main(argv=None) -> int:
     parser.add_argument("--clients", type=int, default=16)
     parser.add_argument("--requests", type=int, default=64)
     parser.add_argument("--max_batch", type=int, default=8)
+    parser.add_argument("--max_px_per_launch", type=int, default=5_000_000,
+                        help="HBM guard (see cli/serve.py); 0 = uncapped")
     parser.add_argument("--max_delay_ms", type=float, default=5.0)
     parser.add_argument("--timeout", type=float, default=600.0)
     parser.add_argument("--use_pallas", action="store_true")
@@ -166,6 +168,8 @@ def main(argv=None) -> int:
                                    io_uint8=not args.f32_transfer)
         server = InterpolationServer(engine, port=0,
                                      max_batch=args.max_batch,
+                                     max_px_per_launch=(args.max_px_per_launch
+                                                        or None),
                                      max_delay_ms=args.max_delay_ms).start()
         server.warmup([(h, w)])
         url = f"http://127.0.0.1:{server.port}"
@@ -174,6 +178,10 @@ def main(argv=None) -> int:
                       raw=args.raw)
     result["size"] = f"{h}x{w}"
     result["protocol"] = "raw" if args.raw else "png"
+    result["max_batch"] = args.max_batch
+    result["max_px_per_launch"] = args.max_px_per_launch or None
+    if server is not None:
+        result["launch_batch"] = server.batcher.launch_size((h, w))
     print(json.dumps(result))
     if server is not None:
         server.shutdown()

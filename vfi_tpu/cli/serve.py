@@ -23,6 +23,13 @@ def main(argv=None) -> int:
                              "exactly once")
     parser.add_argument("--max_delay_ms", type=float, default=5.0,
                         help="max time a request waits for batch-mates")
+    parser.add_argument("--max_px_per_launch", type=int, default=5_000_000,
+                        help="HBM guard: shrink a bucket's launch batch so "
+                             "batch*H*W stays within this pixel budget "
+                             "(0 = uncapped). Default from measurement: "
+                             "batch 8 x 720p (7.4M px) needs 19.3G vs the "
+                             "chip's 15.75G HBM; 5M px keeps 720p at batch "
+                             "5 and 1080p at batch 2, both validated")
     parser.add_argument("--no_pad_to_max", action="store_true",
                         help="launch partial batches at their real size "
                              "(one compile per observed batch size)")
@@ -82,11 +89,14 @@ def main(argv=None) -> int:
                                  pad_to_max=not args.no_pad_to_max,
                                  request_timeout=args.request_timeout,
                                  verbose=args.verbose,
-                                 png_compress_level=args.png_compress_level)
+                                 png_compress_level=args.png_compress_level,
+                                 max_px_per_launch=(args.max_px_per_launch
+                                                    or None))
     if args.warmup:
         for spec in args.warmup.split(","):
             h, w = (int(v) for v in spec.lower().split("x"))
-            print(f"warmup: compiling {h}x{w} bucket (batch {args.max_batch})")
+            b = server.batcher.launch_size((h, w))
+            print(f"warmup: compiling {h}x{w} bucket (batch {b})")
             server.warmup([(h, w)])
     print(f"serving on http://{args.host}:{server.port} "
           f"(POST /v1/interpolate, GET /healthz, GET /stats)")

@@ -80,19 +80,29 @@ class MicroBatcher:
       max_batch: device batch size per launch; also the pad target.
       max_delay_ms: longest a request may wait for batch-mates before its
         bucket launches anyway.
-      pad_to_max: pad every launch to `max_batch` by repeating the last
-        pair (results sliced off). Guarantees one executable per bucket;
-        turn off only for offline/throughput-insensitive use.
+      pad_to_max: pad every launch to the bucket's launch size by repeating
+        the last pair (results sliced off). Guarantees one executable per
+        bucket; turn off only for offline/throughput-insensitive use.
+      max_px_per_launch: HBM guard — cap each bucket's launch size so
+        batch * H * W never exceeds this many pixels (large-resolution
+        buckets launch smaller batches; floor 1). Forward-activation HBM is
+        ~linear in batch pixels, so one pixel budget covers every bucket.
+        None = no cap (max_batch everywhere).
     """
 
     def __init__(self, engine, max_batch: int = 8, max_delay_ms: float = 5.0,
-                 pad_to_max: bool = True):
+                 pad_to_max: bool = True,
+                 max_px_per_launch: int | None = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
+        if max_px_per_launch is not None and max_px_per_launch < 1:
+            raise ValueError("max_px_per_launch must be >= 1 or None")
         self.engine = engine
         # engines advertising io_dtype=uint8 (FrameInterpolator io_uint8)
         # take/return u8 [0,255]; the batcher converts submissions to match
         self.io_dtype = np.dtype(getattr(engine, "io_dtype", np.float32))
+        self.max_px = (None if max_px_per_launch is None
+                       else int(max_px_per_launch))
         self.max_batch = int(max_batch)
         self.max_delay = float(max_delay_ms) / 1e3
         self.pad_to_max = bool(pad_to_max)
@@ -150,6 +160,15 @@ class MicroBatcher:
 
     # -- worker side ------------------------------------------------------
 
+    def launch_size(self, shape: Tuple[int, int]) -> int:
+        """A bucket's device batch: max_batch, shrunk to the pixel budget.
+
+        With pad_to_max this is THE compiled batch dimension for the
+        bucket, so it must be a pure function of (H, W) and the config."""
+        if self.max_px is None:
+            return self.max_batch
+        return max(1, min(self.max_batch, self.max_px // (shape[0] * shape[1])))
+
     def _ready_bucket(self, now: float):
         """The ready bucket with the earliest head deadline, else
         (None, soonest deadline).
@@ -164,7 +183,8 @@ class MicroBatcher:
             if not q:
                 continue
             deadline = q[0].t_submit + self.max_delay
-            if len(q) >= self.max_batch or now >= deadline or self._closed:
+            if (len(q) >= self.launch_size(shape) or now >= deadline
+                    or self._closed):
                 if best is None or deadline < best[1]:
                     best = (shape, deadline)
             else:
@@ -180,8 +200,9 @@ class MicroBatcher:
                     shape, soonest = self._ready_bucket(time.monotonic())
                     if shape is not None:
                         q = self._buckets[shape]
+                        cap = self.launch_size(shape)
                         batch = [q.popleft()
-                                 for _ in range(min(len(q), self.max_batch))]
+                                 for _ in range(min(len(q), cap))]
                         break
                     if self._closed:  # closed + nothing ready = drained
                         return
@@ -193,8 +214,9 @@ class MicroBatcher:
         n = len(batch)
         f0 = np.stack([r.f0 for r in batch])
         f1 = np.stack([r.f1 for r in batch])
-        if self.pad_to_max and n < self.max_batch:
-            pad = self.max_batch - n
+        cap = self.launch_size(shape)
+        if self.pad_to_max and n < cap:
+            pad = cap - n
             f0 = np.concatenate([f0, np.repeat(f0[-1:], pad, axis=0)])
             f1 = np.concatenate([f1, np.repeat(f1[-1:], pad, axis=0)])
         try:
@@ -220,5 +242,6 @@ class MicroBatcher:
     def warmup(self, height: int, width: int):
         """Compile a bucket's executable ahead of traffic (one full-size
         launch of zeros; with pad_to_max this is THE steady-state shape)."""
-        z = np.zeros((self.max_batch, height, width, 3), self.io_dtype)
+        b = self.launch_size((height, width))
+        z = np.zeros((b, height, width, 3), self.io_dtype)
         np.asarray(self.engine.midpoints(z, z))

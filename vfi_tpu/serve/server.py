@@ -190,16 +190,19 @@ class InterpolationServer:
       engine: FrameInterpolator (any mesh / kernel configuration).
       host/port: bind address; port 0 picks a free port (see `.port`).
       request_timeout: per-request ceiling on waiting for the device.
-      batcher kwargs: max_batch / max_delay_ms / pad_to_max.
+      batcher kwargs: max_batch / max_delay_ms / pad_to_max /
+        max_px_per_launch (the HBM guard).
     """
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
                  max_batch: int = 8, max_delay_ms: float = 5.0,
                  pad_to_max: bool = True, request_timeout: float = 120.0,
-                 verbose: bool = False, png_compress_level: int = 1):
+                 verbose: bool = False, png_compress_level: int = 1,
+                 max_px_per_launch: int | None = None):
         self.batcher = MicroBatcher(engine, max_batch=max_batch,
                                     max_delay_ms=max_delay_ms,
-                                    pad_to_max=pad_to_max)
+                                    pad_to_max=pad_to_max,
+                                    max_px_per_launch=max_px_per_launch)
         self.request_timeout = request_timeout
         self.verbose = verbose
         self.png_compress_level = png_compress_level
@@ -220,6 +223,7 @@ class InterpolationServer:
             "platform": devs[0].platform,
             "devices": len(devs),
             "max_batch": self.batcher.max_batch,
+            "max_px_per_launch": self.batcher.max_px,
             "buckets": sorted(self.batcher.stats.per_bucket),
         }
 
