@@ -620,3 +620,40 @@ def test_trainer_accum_steps_validation(tmp_path):
         Trainer(cfg)
     with pytest.raises(ValueError, match="accum_steps"):
         Trainer(dataclasses.replace(cfg, accum_steps=0))
+
+
+def test_trainer_cascade_smoke(tmp_path, rng):
+    """cascade_levels=2 trains end-to-end (the coarse pass shares weights,
+    so checkpoints round-trip through the same param tree)."""
+    import os
+
+    from PIL import Image
+
+    from vfi_tpu.train.loop import Trainer
+    from vfi_tpu.utils.config import MeshConfig, TrainConfig
+
+    root = tmp_path / "data"
+    for split in ("train", "val"):
+        d = root / split / "scene"
+        d.mkdir(parents=True)
+        for i in range(5):
+            img = rng.integers(0, 255, (20, 24, 3)).astype(np.uint8)
+            Image.fromarray(img).save(d / f"f{i}.png")
+
+    cfg = TrainConfig(
+        batch_size=2, learning_rate=1e-3, num_epochs=1,
+        train_data_dir=str(root / "train"), val_data_dir=str(root / "val"),
+        crop_size=(16, 16), random_rotation=False, horizontal_flip=False,
+        color_jitter=None, random_grayscale=0.0,
+        vgg_weight=0.0, temporal_weight=0.0,
+        mid_channels=8, num_blocks=1, bf16=False, cascade_levels=2,
+        mesh=MeshConfig(data=2, spatial=1),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        best_model_path=str(tmp_path / "best"),
+        output_image_path=str(tmp_path / "imgs"),
+        log_every=100)
+    trainer = Trainer(cfg)
+    history = trainer.run(log=lambda *_: None)
+    trainer.ckpt.close()
+    assert np.isfinite(history["val_loss"][0])
+    assert os.path.exists(str(tmp_path / "best") + ".npz")

@@ -129,6 +129,10 @@ def main(argv=None) -> int:
     parser.add_argument("--use_pallas", action="store_true")
     parser.add_argument("--dcn_tile_w", type=int, default=None,
                         help="explicit Pallas DCN column-tile width (e.g. 256): per-tile skip predicates are tighter on trained offsets; bit-identical, auto-ignored for widths it does not divide")
+    parser.add_argument("--cascade_levels", type=int, default=1,
+                        help="EMAVFI self-cascade depth: >1 runs the motion "
+                             "stages coarse-to-fine (shared weights) — use "
+                             "on checkpoints fine-tuned with the same depth")
     parser.add_argument("--tta", action="store_true",
                         help="average 4 symmetry-transformed forwards "
                              "(identity/hflip/vflip/temporal-swap); ~4x "
@@ -192,6 +196,7 @@ def main(argv=None) -> int:
                                warp_max_flow=args.warp_max_flow,
                                use_pallas=args.use_pallas,
                                dcn_tile_w=args.dcn_tile_w,
+                               cascade_levels=args.cascade_levels,
                                tta=args.tta,
                                flow_params=flow_params,
                                flow_prior_scale=args.flow_prior_scale,

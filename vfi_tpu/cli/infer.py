@@ -75,6 +75,10 @@ def main(argv=None) -> int:
                        help="fused Pallas kernels for bounded sampling")
         p.add_argument("--dcn_tile_w", type=int, default=None,
                        help="explicit Pallas DCN column-tile width (e.g. 256): per-tile skip predicates are tighter on trained offsets; bit-identical, auto-ignored for widths it does not divide")
+        p.add_argument("--cascade_levels", type=int, default=1,
+                       help="EMAVFI self-cascade depth: >1 runs the motion "
+                            "stages coarse-to-fine (shared weights) — use "
+                            "on checkpoints fine-tuned with the same depth")
         p.add_argument("--spatial", type=int, default=1,
                        help="shard frame height over this many devices "
                             "(single-clip 1080p/4K mode; with --use_pallas "
@@ -156,6 +160,7 @@ def main(argv=None) -> int:
                                    warp_max_flow=args.warp_max_flow,
                                    use_pallas=args.use_pallas,
                                    dcn_tile_w=args.dcn_tile_w,
+                                   cascade_levels=args.cascade_levels,
                                    mesh=mesh, spatial=args.spatial > 1,
                                    **flow_kw)
         mid = np.asarray(interp.midpoints(load(args.frame0), load(args.frame1)))[0]
@@ -171,6 +176,7 @@ def main(argv=None) -> int:
                                    warp_max_flow=args.warp_max_flow,
                                    use_pallas=args.use_pallas,
                                    dcn_tile_w=args.dcn_tile_w,
+                                   cascade_levels=args.cascade_levels,
                                    mesh=mesh, spatial=args.spatial > 1,
                                    **flow_kw)
         all_stats = interpolate_videos(
@@ -192,6 +198,7 @@ def main(argv=None) -> int:
                                warp_max_flow=args.warp_max_flow,
                                use_pallas=args.use_pallas,
                                dcn_tile_w=args.dcn_tile_w,
+                               cascade_levels=args.cascade_levels,
                                mesh=mesh, spatial=args.spatial > 1,
                                **flow_kw)
     from vfi_tpu.infer.video import interpolate_video

@@ -75,7 +75,8 @@ class FrameInterpolator:
                  flow_levels: int = 3,
                  tta: bool = False,
                  io_uint8: bool = False,
-                 auto_scale: Optional[float] = None):
+                 auto_scale: Optional[float] = None,
+                 cascade_levels: int = 1):
         """`spatial=True` additionally shards frame height over the mesh's
         'spatial' axis (single-clip 1080p/4K mode; XLA inserts the conv/
         shift halo exchanges — see tests/test_parallel.py).
@@ -103,6 +104,14 @@ class FrameInterpolator:
         a relay-attached TPU — docs/PERFORMANCE.md "Serving"). Numerically
         identical to host-side conversion for u8-sourced frames (PNG/video
         decode), which is every serving input.
+
+        `cascade_levels` > 1 enables the model's self-cascade: its own
+        motion stages run coarse-to-fine on downsampled copies (shared
+        weights) and pre-warp frame2 by each level's upsampled flow inside
+        the jit graph — the trained, per-pixel counterpart of the binary
+        `auto_scale` switch. Only valid on checkpoints FINE-TUNED with the
+        matching cascade_levels (the pre-warp changes the fine level's input
+        distribution). Not supported with `spatial` sharding.
 
         `auto_scale=<pixels>` enables scale-adaptive inference: per
         `midpoints` call, the SimpleFlowNet estimates the pair's flow and,
@@ -138,7 +147,11 @@ class FrameInterpolator:
             num_blocks=num_blocks if num_blocks is not None else dims["num_blocks"],
             dtype=jnp.bfloat16 if bf16 else None,
             dcn_max_offset=dcn_max_offset, warp_max_flow=warp_max_flow,
-            use_pallas=use_pallas, dcn_tile_w=dcn_tile_w)
+            use_pallas=use_pallas, dcn_tile_w=dcn_tile_w,
+            cascade_levels=cascade_levels)
+        if cascade_levels > 1 and spatial:
+            raise ValueError("cascade mode is not supported with spatial "
+                             "sharding (the coarse pass is global)")
         self.mesh = mesh if mesh is not None else make_mesh()
         self.reference_compat = reference_compat
         rep = replicated(self.mesh)

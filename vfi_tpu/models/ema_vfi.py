@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vfi_tpu.models.layers import ConvBlock, ModulatedDeformConv, torch_bias_init, torch_kernel_init
+from vfi_tpu.ops.resize import resize_bilinear
 from vfi_tpu.ops.warp import warp
 
 
@@ -61,6 +62,21 @@ class EMAVFI(nn.Module):
     # Run bounded sampling through the Pallas kernels (fused, single HBM
     # read) instead of the XLA shift decomposition. Same numerics.
     use_pallas: bool = False
+    # Self-cascade depth (>= 1). At k > 1 the model runs its OWN motion
+    # stages (feature extraction + context + motion estimation, shared
+    # weights) on 2^(k-1)..2x-downsampled copies of the pair coarse-to-fine;
+    # each level's flow is upsampled (magnitude-rescaled) and applied as an
+    # exact unbounded pre-warp of frame2 before the next-finer level — the
+    # composition semantics of models/prior.py, but with the trained motion
+    # estimator instead of SimpleFlowNet. Halving resolution halves apparent
+    # motion, so large displacements fall back inside the stride-1 trunk's
+    # receptive field (the measured Grove/Mequon ceiling — docs/
+    # PERFORMANCE.md "Scale-adaptive inference") while the finest level
+    # keeps full detail. The parameter tree is INDEPENDENT of
+    # cascade_levels: checkpoints trained at k=1 warm-start k=2 directly.
+    # Extra cost for k=2: one stages-1..3 pass at quarter area (~15% of a
+    # forward). Not supported together with manual spatial sharding.
+    cascade_levels: int = 1
     # Explicit column-tile width for the Pallas DCN kernels (None = auto).
     # Real trained offsets are spatially heterogeneous, so per-tile skip
     # predicates drop ~15% of (tap, shift) pair work that full-width
@@ -119,6 +135,13 @@ class EMAVFI(nn.Module):
         f1 = frame1.astype(compute_dtype)
         f2 = frame2.astype(compute_dtype)
 
+        if self.cascade_levels < 1:
+            raise ValueError(f"cascade_levels must be >= 1, got "
+                             f"{self.cascade_levels}")
+        if self.cascade_levels > 1 and self.spatial_axis is not None:
+            raise ValueError("cascade mode is not supported with manual "
+                             "spatial sharding (the coarse pass is global)")
+
         if self.spatial_axis is not None:
             mask, owner_mask = self._row_tools()
             f1, f2 = mask(f1), mask(f2)
@@ -126,46 +149,84 @@ class EMAVFI(nn.Module):
             mask = lambda x, scale=1: x  # noqa: E731 — identity off-mesh
             owner_mask = None
 
-        # 1. Feature extraction (full resolution, stride-1 trunk).
-        feat = jnp.concatenate([f1, f2], axis=-1)
-        feat = mask(ConvBlock(m, dtype=dt, name="feat_ext_conv1")(feat))
-        for i in range(self.num_blocks):
-            feat = mask(ConvBlock(m, dtype=dt, name=f"feat_ext_block{i}")(feat))
-
-        # 2. Context encoding -> one global M-dim vector per pair.
-        ctx = mask(ConvBlock(2 * m, stride=2, dtype=dt, name="ctx_conv1")(feat), 2)
-        ctx = mask(ConvBlock(4 * m, stride=2, dtype=dt, name="ctx_conv2")(ctx), 4)
-        ctx = ConvBlock(4 * m, dtype=dt, name="ctx_conv3")(ctx)
-        if self.spatial_axis is not None:
-            # Exact global average pool across shards: sum the rows this
-            # shard owns (each computed exactly thanks to the halo), psum
-            # over the axis, divide by the global pooled extent.
-            import jax
-
-            pooled = jnp.sum(owner_mask(ctx, 4), axis=(1, 2))
-            pooled = jax.lax.psum(pooled, self.spatial_axis)
-            count = (self.spatial_global_h // 4) * ctx.shape[2]
-            ctx = pooled / jnp.asarray(count, pooled.dtype)
-        else:
-            ctx = jnp.mean(ctx, axis=(1, 2))  # global average pool -> (B, 4M)
-        ctx = nn.Dense(
+        # Submodules are created ONCE and applied at every cascade scale —
+        # Flax shares the parameters across calls, so the parameter tree
+        # (names and shapes) is identical for every cascade_levels value.
+        feat_conv1 = ConvBlock(m, dtype=dt, name="feat_ext_conv1")
+        feat_blocks = [ConvBlock(m, dtype=dt, name=f"feat_ext_block{i}")
+                       for i in range(self.num_blocks)]
+        ctx_conv1 = ConvBlock(2 * m, stride=2, dtype=dt, name="ctx_conv1")
+        ctx_conv2 = ConvBlock(4 * m, stride=2, dtype=dt, name="ctx_conv2")
+        ctx_conv3 = ConvBlock(4 * m, dtype=dt, name="ctx_conv3")
+        ctx_dense = nn.Dense(
             m,
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init((4 * m, m)),
             dtype=dt,
             param_dtype=jnp.float32,
             name="ctx_dense",
-        )(ctx)
+        )
+        motion_conv1 = ConvBlock(m, dtype=dt, name="motion_conv1")
+        motion_conv2 = ConvBlock(m, dtype=dt, name="motion_conv2")
+        motion_conv3 = ConvBlock(2, act=False, dtype=dt, name="motion_conv3")
 
-        # 3. Motion estimation: features + broadcast context -> dense flow.
-        b, h, w, _ = feat.shape
-        ctx_map = jnp.broadcast_to(ctx[:, None, None, :], (b, h, w, m))
-        # (spatial mode: the broadcast ctx is nonzero on out-of-image slab
-        # rows — mask the concatenation so conv padding semantics match)
-        flow = mask(jnp.concatenate([feat, ctx_map], axis=-1))
-        flow = mask(ConvBlock(m, dtype=dt, name="motion_conv1")(flow))
-        flow = mask(ConvBlock(m, dtype=dt, name="motion_conv2")(flow))
-        flow = mask(ConvBlock(2, act=False, dtype=dt, name="motion_conv3")(flow))
+        def motion_stages(a, b2):
+            """Stages 1-3 (feature extraction, context encoding, motion
+            estimation) on a frame pair -> (features, dense flow)."""
+            # 1. Feature extraction (stride-1 trunk at this scale).
+            feat = jnp.concatenate([a, b2], axis=-1)
+            feat = mask(feat_conv1(feat))
+            for blk in feat_blocks:
+                feat = mask(blk(feat))
+
+            # 2. Context encoding -> one global M-dim vector per pair.
+            ctx = mask(ctx_conv1(feat), 2)
+            ctx = mask(ctx_conv2(ctx), 4)
+            ctx = ctx_conv3(ctx)
+            if self.spatial_axis is not None:
+                # Exact global average pool across shards: sum the rows this
+                # shard owns (each computed exactly thanks to the halo), psum
+                # over the axis, divide by the global pooled extent.
+                import jax
+
+                pooled = jnp.sum(owner_mask(ctx, 4), axis=(1, 2))
+                pooled = jax.lax.psum(pooled, self.spatial_axis)
+                count = (self.spatial_global_h // 4) * ctx.shape[2]
+                ctx = pooled / jnp.asarray(count, pooled.dtype)
+            else:
+                ctx = jnp.mean(ctx, axis=(1, 2))  # global avg pool -> (B, 4M)
+            ctx = ctx_dense(ctx)
+
+            # 3. Motion estimation: features + broadcast context -> flow.
+            b, h, w, _ = feat.shape
+            ctx_map = jnp.broadcast_to(ctx[:, None, None, :], (b, h, w, m))
+            # (spatial mode: the broadcast ctx is nonzero on out-of-image
+            # slab rows — mask the concatenation so conv padding matches)
+            flow = mask(jnp.concatenate([feat, ctx_map], axis=-1))
+            flow = mask(motion_conv1(flow))
+            flow = mask(motion_conv2(flow))
+            flow = mask(motion_conv3(flow))
+            return feat, flow
+
+        # 0. Self-cascade coarse-to-fine prior: run the motion stages on
+        #    downsampled copies (shared weights), upsample each level's flow
+        #    (per-axis magnitude rescale), and pre-warp frame2 by it with the
+        #    exact unbounded warp — the prior can be large; the bounded fast
+        #    paths below only ever see the small residual.
+        h_full, w_full = f1.shape[1], f1.shape[2]
+        for lvl in range(self.cascade_levels - 1, 0, -1):
+            s = 2 ** lvl
+            ch, cw = -(-h_full // s), -(-w_full // s)  # ceil: any input size
+            c1 = resize_bilinear(f1, (ch, cw))
+            c2 = resize_bilinear(f2, (ch, cw))
+            _, cflow = motion_stages(c1, c2)
+            # flow coordinates need sub-pixel precision at large magnitudes:
+            # upsample + rescale in f32 (bf16 ulp at 16 px is 0.0625 px)
+            up = resize_bilinear(cflow.astype(jnp.float32), (h_full, w_full))
+            scale_vec = jnp.asarray([w_full / cw, h_full / ch], jnp.float32)
+            f2 = warp(f2, up * scale_vec, mode="bilinear")
+
+        feat, flow = motion_stages(f1, f2)
 
         # 4. Backward-warp frame2 (RGB) by the flow; bilinear, zeros padding,
         #    align_corners=True semantics.

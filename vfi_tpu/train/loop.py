@@ -238,7 +238,8 @@ class Trainer:
                             dcn_max_offset=cfg.dcn_max_offset,
                             warp_max_flow=cfg.warp_max_flow,
                             use_pallas=cfg.use_pallas,
-                            dcn_tile_w=cfg.dcn_tile_w)
+                            dcn_tile_w=cfg.dcn_tile_w,
+                            cascade_levels=cfg.cascade_levels)
         self.vgg_layer_index = LAYER_INDEX[cfg.vgg_layer]
         # vgg_weight == 0 -> skip building/running VGG entirely
         self.vgg_module = (VGG16Features(max_stage=self.vgg_layer_index,

@@ -158,6 +158,11 @@ class TrainConfig:
     # per-tile skip predicates on trained offsets; bit-identical output;
     # silently ignored for widths it does not divide (e.g. crop training).
     dcn_tile_w: Optional[int] = None
+    # Self-cascade depth (EMAVFI.cascade_levels): > 1 runs the model's own
+    # motion stages coarse-to-fine on downsampled copies (shared weights —
+    # checkpoint-compatible) and pre-warps frame2 by each level's upsampled
+    # flow; the in-model large-motion lever. 1 = reference-parity topology.
+    cascade_levels: int = 1
 
     # TPU execution (additions)
     mesh: MeshConfig = field(default_factory=MeshConfig)
