@@ -149,8 +149,7 @@ def main(argv=None) -> int:
     except subprocess.TimeoutExpired:
         print("  warmup: TPU runtime did not come up in 900s", flush=True)
 
-    results = []
-    for case in CASES:
+    def run_bounded(case: str) -> dict:
         t0 = time.time()
         try:
             proc = subprocess.run(
@@ -160,17 +159,34 @@ def main(argv=None) -> int:
             line = [ln for ln in proc.stdout.splitlines()
                     if ln.startswith("{")]
             if line:
-                results.append(json.loads(line[-1]))
-            else:
-                results.append({"case": case, "ok": False,
-                                "error": f"rc={proc.returncode}",
-                                "stderr_tail": proc.stderr[-500:],
-                                "seconds": round(time.time() - t0, 1)})
+                return json.loads(line[-1])
+            return {"case": case, "ok": False,
+                    "error": f"rc={proc.returncode}",
+                    "stderr_tail": proc.stderr[-500:],
+                    "seconds": round(time.time() - t0, 1)}
         except subprocess.TimeoutExpired:
-            results.append({"case": case, "ok": False,
-                            "error": f"timeout after {args.timeout}s "
-                                     "(compile hang? see docs/PERFORMANCE.md)",
-                            "seconds": round(time.time() - t0, 1)})
+            return {"case": case, "ok": False,
+                    "error": f"timeout after {args.timeout}s "
+                             "(compile hang? see docs/PERFORMANCE.md)",
+                    "seconds": round(time.time() - t0, 1)}
+
+    results = []
+    for case in CASES:
+        res = run_bounded(case)
+        # The remote compile relay intermittently hangs individual FRESH
+        # Mosaic compiles (measured 2026-08-19: the same case compiles in
+        # 40-70 s or wedges past 500 s across back-to-back runs, while the
+        # production full-model compile succeeds in between — see
+        # docs/PERFORMANCE.md "tpu-smoke relay flakiness"). A numerics
+        # break is deterministic; a relay hang is not — retry a TIMEOUT
+        # once so flakiness doesn't masquerade as a kernel regression.
+        # Genuine failures (ok=False with a measured max_err) never retry.
+        if not res["ok"] and "timeout" in res.get("error", ""):
+            print(f"  {res}  -> retrying once (relay flakiness)", flush=True)
+            retry = run_bounded(case)
+            retry["retried_after_timeout"] = True
+            res = retry
+        results.append(res)
         print(f"  {results[-1]}", flush=True)
 
     import datetime
