@@ -20,7 +20,7 @@ set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
 mkdir -p runs/queueM runs/queueM3 runs/queueN runs/queueN2 runs/queueO \
-         runs/queueP runs/queueQ runs/queueR runs/queueS
+         runs/queueP runs/queueQ runs/queueR runs/queueS runs/queueT runs/queueU
 
 # --- 1. marker reconstruction from committed artifacts -----------------------
 # -s (non-empty), not -f: a failed step can leave a truncated/empty artifact
@@ -55,6 +55,15 @@ fi
 if [ -f runs/queueN2/video1080.done ] && [ -f runs/queueN2/serve.done ]; then
   touch runs/queueN2/COMPLETE
 fi
+# queueT (q12 cascade fine-tune): step-0 eval + the hardware gate both have
+# committed terminal evidence (the wip npz only exists once training — which
+# the gate precedes — has started)
+[ -s artifacts/q11_cascade_untrained_eval.json ] && touch runs/queueT/eval0.done
+[ -s artifacts/emavfi_q12_wip.npz ] && touch runs/queueT/gate.done
+if [ -s artifacts/q12_eval.json ] || [ -s artifacts/q12_eval_rejected.json ]; then
+  touch runs/queueT/COMPLETE
+fi
+[ -s artifacts/serve_bench_session15.json ] && touch runs/queueU/serve.done
 
 # exact argv match ("bash tools/<q>.sh"): a loose substring grep would
 # count an editor/less/tail holding the script open as "running" and
@@ -75,12 +84,14 @@ if [ ! -f runs/queueO/COMPLETE ]; then
   fi
 elif [ ! -f runs/queueN/COMPLETE ]; then
   if running queueN; then echo "queueN already running"; else launch queueN; fi
+elif [ ! -f runs/queueT/COMPLETE ]; then
+  if running queueT; then echo "queueT already running"; else launch queueT; fi
 else
   echo "TPU stages complete"
 fi
 
 # --- 3. marker-pollers ---------------------------------------------------------
-for q in queueP queueQ queueR queueN2 queueS; do
+for q in queueP queueQ queueR queueN2 queueS queueU; do
   if [ -f "runs/$q/COMPLETE" ]; then
     echo "$q complete"
   elif running "$q"; then
