@@ -20,7 +20,8 @@ set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
 mkdir -p runs/queueM runs/queueM3 runs/queueN runs/queueN2 runs/queueO \
-         runs/queueP runs/queueQ runs/queueR runs/queueS runs/queueT runs/queueU
+         runs/queueP runs/queueQ runs/queueR runs/queueS runs/queueT runs/queueU \
+         runs/queueV
 
 # --- 1. marker reconstruction from committed artifacts -----------------------
 # -s (non-empty), not -f: a failed step can leave a truncated/empty artifact
@@ -64,6 +65,14 @@ if [ -s artifacts/q12_eval.json ] || [ -s artifacts/q12_eval_rejected.json ]; th
   touch runs/queueT/COMPLETE
 fi
 [ -s artifacts/serve_bench_session15.json ] && touch runs/queueU/serve.done
+# queueV (q12 inference-time quality adjudication)
+[ -s artifacts/q12_tta_eval.json ] && touch runs/queueV/tta.done
+[ -s artifacts/q12_autoscale_eval.json ] && touch runs/queueV/auto.done
+[ -s artifacts/q12_autoscale_tta_eval.json ] && touch runs/queueV/autotta.done
+if [ -f runs/queueV/tta.done ] && [ -f runs/queueV/auto.done ] \
+    && [ -f runs/queueV/autotta.done ]; then
+  touch runs/queueV/COMPLETE
+fi
 
 # exact argv match ("bash tools/<q>.sh"): a loose substring grep would
 # count an editor/less/tail holding the script open as "running" and
@@ -91,7 +100,7 @@ else
 fi
 
 # --- 3. marker-pollers ---------------------------------------------------------
-for q in queueP queueQ queueR queueN2 queueS queueU; do
+for q in queueP queueQ queueR queueN2 queueS queueU queueV; do
   if [ -f "runs/$q/COMPLETE" ]; then
     echo "$q complete"
   elif running "$q"; then
