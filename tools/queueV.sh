@@ -18,11 +18,35 @@ LOG=runs/queueV/queueV.log
 exec >>"$LOG" 2>&1
 echo "=== queueV start $(date -u +%FT%TZ) ==="
 
+# ADVICE r2: also stop waiting when the queueU process is gone (its COMPLETE
+# will then never appear), and flag contention loudly if we ever proceed
+# while it is still running.
+queueU_running() {
+  for f in /proc/[0-9]*/cmdline; do
+    tr '\0' ' ' < "$f" 2>/dev/null | grep -q "tools/queueU.sh" && return 0
+  done
+  return 1
+}
 for i in $(seq 1 240); do   # up to 4 h
   [ -f runs/queueU/COMPLETE ] && break
+  queueU_running || { echo "queueU process gone without COMPLETE - chip free, proceeding $(date -u +%FT%TZ)"; break; }
   sleep 60
 done
-[ -f runs/queueU/COMPLETE ] || { echo "queueU never completed - proceeding anyway (smoke is optional)"; }
+if [ ! -f runs/queueU/COMPLETE ] && queueU_running; then
+  echo "WARNING: CONTENDED - queueU still running; wall-times in this log are unreliable"
+fi
+
+# ADVICE r2: a detached chain can lose a commit to an index.lock race; retry
+# with backoff and shout instead of swallowing the failure.
+commit_retry() {  # commit_retry <msg> <file>...
+  local msg="$1"; shift
+  for a in 1 2 3 4 5; do
+    if git add "$@" && git commit -q -m "$msg"; then return 0; fi
+    sleep $((a * 5))
+  done
+  echo "COMMIT FAILED after retries: $msg"
+  return 1
+}
 
 M=artifacts/emavfi_q12_best.npz
 F=artifacts/emavfi_q12_best.flow.npz
@@ -36,8 +60,7 @@ if [ ! -f runs/queueV/tta.done ]; then
   if [ -f runs/queueV/tta.done ] && [ -s runs/queueV/q12_tta_eval.json ]; then
     cp runs/queueV/q12_tta_eval.json artifacts/q12_tta_eval.json
     echo "q12 TTA:"; cat artifacts/q12_tta_eval.json
-    git add artifacts/q12_tta_eval.json && \
-      git commit -q -m "TTA eval of the q12 cascade flagship" || true
+    commit_retry "TTA eval of the q12 cascade flagship" artifacts/q12_tta_eval.json
   fi
 fi
 
@@ -47,8 +70,7 @@ if [ ! -f runs/queueV/auto.done ]; then
   if [ -f runs/queueV/auto.done ] && [ -s runs/queueV/q12_autoscale_eval.json ]; then
     cp runs/queueV/q12_autoscale_eval.json artifacts/q12_autoscale_eval.json
     echo "q12 auto_scale:"; cat artifacts/q12_autoscale_eval.json
-    git add artifacts/q12_autoscale_eval.json && \
-      git commit -q -m "auto_scale 7.5 composed with the q12 cascade (large-motion lever overlap test)" || true
+    commit_retry "auto_scale 7.5 composed with the q12 cascade (large-motion lever overlap test)" artifacts/q12_autoscale_eval.json
   fi
 fi
 
@@ -58,10 +80,15 @@ if [ ! -f runs/queueV/autotta.done ]; then
   if [ -f runs/queueV/autotta.done ] && [ -s runs/queueV/q12_autoscale_tta_eval.json ]; then
     cp runs/queueV/q12_autoscale_tta_eval.json artifacts/q12_autoscale_tta_eval.json
     echo "q12 auto_scale+TTA:"; cat artifacts/q12_autoscale_tta_eval.json
-    git add artifacts/q12_autoscale_tta_eval.json && \
-      git commit -q -m "Max-quality configuration on q12: auto_scale + TTA on the cascade flagship" || true
+    commit_retry "Max-quality configuration on q12: auto_scale + TTA on the cascade flagship" artifacts/q12_autoscale_tta_eval.json
   fi
 fi
 
-echo "=== queueV COMPLETE $(date -u +%FT%TZ) ==="
-touch runs/queueV/COMPLETE
+# ADVICE r2: only declare COMPLETE when every step's marker exists, so a
+# relaunch retries a timed-out step instead of abandoning the adjudication.
+if [ -f runs/queueV/tta.done ] && [ -f runs/queueV/auto.done ] && [ -f runs/queueV/autotta.done ]; then
+  echo "=== queueV COMPLETE $(date -u +%FT%TZ) ==="
+  touch runs/queueV/COMPLETE
+else
+  echo "=== queueV INCOMPLETE $(date -u +%FT%TZ) (missing step markers; relaunch will retry) ==="
+fi
