@@ -313,3 +313,63 @@ def test_cascade_spatial_mode_rejected(tiny_model_and_params):
     f = jnp.zeros((1, 16, 16, 3), jnp.float32)
     with pytest.raises(ValueError, match="cascade"):
         model.apply(params, f, f)
+
+
+def test_fuse_project_tree_and_forward(rng):
+    """fuse_project=True: the DCN stack runs at mid_channels; the tree grows
+    a fuse_proj module that infer_model_dims auto-detects."""
+    from vfi_tpu.utils.convert import infer_model_dims
+
+    model = EMAVFI(mid_channels=8, num_blocks=1, fuse_project=True)
+    f = jnp.asarray(rng.standard_normal((1, 16, 16, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), f, f)
+    p = params["params"]
+    assert "fuse_proj" in p
+    assert p["fuse_proj"]["conv"]["kernel"].shape == (1, 1, 11, 8)
+    assert p["fusion_dcn0"]["kernel"].shape == (3, 3, 8, 8)
+    assert p["fusion_dcn0"]["offset_conv"]["kernel"].shape == (3, 3, 8, 27)
+    assert p["rec_conv1"]["conv"]["kernel"].shape == (3, 3, 8, 64 // 8)
+    dims = infer_model_dims(params)
+    assert dims["fuse_project"] is True and dims["mid_channels"] == 8
+    out = jax.jit(model.apply)(params, f, f)
+    assert out.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_project_checkpoint_surgery_exact_when_dropped_channels_dead(
+        rng, tmp_path):
+    """tools/project_checkpoint surgery is exactly function-preserving when
+    the dropped channels have zero weight in every consumer slice (the
+    general case differs only by those channels' contributions)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    from project_checkpoint import project_tree
+
+    base = EMAVFI(mid_channels=8, num_blocks=2)
+    f0 = jnp.asarray(rng.standard_normal((1, 16, 16, 3)).astype(np.float32))
+    f1 = jnp.asarray(rng.standard_normal((1, 16, 16, 3)).astype(np.float32))
+    params = base.init(jax.random.PRNGKey(1), f0, f1)
+    params = jax.tree.map(lambda a: np.array(a, copy=True), params)
+    # kill 3 feature channels' influence everywhere the fused stream is read
+    dead = [1, 4, 6]
+    p = params["params"]
+    for n in ("fusion_dcn0", "fusion_dcn1"):
+        p[n]["kernel"][:, :, dead, :] = 0.0
+        p[n]["kernel"][:, :, :, dead] = 0.0
+        p[n]["offset_conv"]["kernel"][:, :, dead, :] = 0.0
+    p["rec_conv1"]["conv"]["kernel"][:, :, dead, :] = 0.0
+
+    npz = str(tmp_path / "base.npz")
+    save_params_npz(params, npz)
+    z = np.load(npz)
+    proj_flat, dropped = project_tree({k: z[k] for k in z.files})
+    assert dropped == dead
+    out_npz = str(tmp_path / "proj.npz")
+    np.savez(out_npz, **proj_flat)
+    proj_params = load_params_npz(out_npz)
+
+    proj_model = EMAVFI(mid_channels=8, num_blocks=2, fuse_project=True)
+    ref = np.asarray(jax.jit(base.apply)(params, f0, f1))
+    got = np.asarray(jax.jit(proj_model.apply)(proj_params, f0, f1))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=0)

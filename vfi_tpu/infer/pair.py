@@ -148,7 +148,10 @@ class FrameInterpolator:
             dtype=jnp.bfloat16 if bf16 else None,
             dcn_max_offset=dcn_max_offset, warp_max_flow=warp_max_flow,
             use_pallas=use_pallas, dcn_tile_w=dcn_tile_w,
-            cascade_levels=cascade_levels)
+            cascade_levels=cascade_levels,
+            # auto-detected off the tree (utils/convert.infer_model_dims):
+            # checkpoints carry their own topology, no side-channel flag.
+            fuse_project=dims.get("fuse_project", False))
         if cascade_levels > 1 and spatial:
             raise ValueError("cascade mode is not supported with spatial "
                              "sharding (the coarse pass is global)")

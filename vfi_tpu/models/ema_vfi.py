@@ -77,6 +77,19 @@ class EMAVFI(nn.Module):
     # Extra cost for k=2: one stages-1..3 pass at quarter area (~15% of a
     # forward). Not supported together with manual spatial sharding.
     cascade_levels: int = 1
+    # TPU lane-alignment variant: 1x1-project the fusion concat
+    # cat(feat M, warped C_in) = M + C_in channels (67 at defaults —
+    # reference src/models/ema_vfi.py:96-99) down to M channels BEFORE the
+    # deformable stack, so every DCN sample buffer, blend and matmul runs
+    # at a power-of-two channel count (M=64) instead of 67. 67 and 64 both
+    # pad to 128 lanes in isolation, but 64 enables dense layouts
+    # (sublane-major kernels, packed reshapes) and removes the odd-channel
+    # relayout copies XLA inserts around the custom DCN ops. The projection
+    # is linear (no ReLU) so a converted 67-channel checkpoint can be
+    # warm-started near-losslessly (tools/project_checkpoint.py).
+    # Changes the parameter tree: NOT checkpoint-compatible with the
+    # reference topology; off by default.
+    fuse_project: bool = False
     # Explicit column-tile width for the Pallas DCN kernels (None = auto).
     # Real trained offsets are spatially heterogeneous, so per-tile skip
     # predicates drop ~15% of (tap, shift) pair work that full-width
@@ -251,7 +264,14 @@ class EMAVFI(nn.Module):
 
         # 5. Fusion: deformable conv stack over cat(features, warped frame).
         fused = mask(jnp.concatenate([feat, warped2], axis=-1))
-        fused_ch = m + self.in_channels
+        if self.fuse_project:
+            # Lane-alignment projection (see the field docstring): linear
+            # 1x1 to M channels; the DCN stack below then runs lane-dense.
+            fused = mask(ConvBlock(m, kernel_size=1, padding=0, act=False,
+                                   dtype=dt, name="fuse_proj")(fused))
+            fused_ch = m
+        else:
+            fused_ch = m + self.in_channels
         for i in range(self.num_blocks):
             fused = mask(ModulatedDeformConv(fused_ch, dtype=dt,
                                              max_offset=self.dcn_max_offset,

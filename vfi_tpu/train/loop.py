@@ -239,7 +239,8 @@ class Trainer:
                             warp_max_flow=cfg.warp_max_flow,
                             use_pallas=cfg.use_pallas,
                             dcn_tile_w=cfg.dcn_tile_w,
-                            cascade_levels=cfg.cascade_levels)
+                            cascade_levels=cfg.cascade_levels,
+                            fuse_project=cfg.fuse_project)
         self.vgg_layer_index = LAYER_INDEX[cfg.vgg_layer]
         # vgg_weight == 0 -> skip building/running VGG entirely
         self.vgg_module = (VGG16Features(max_stage=self.vgg_layer_index,

@@ -163,6 +163,12 @@ class TrainConfig:
     # checkpoint-compatible) and pre-warps frame2 by each level's upsampled
     # flow; the in-model large-motion lever. 1 = reference-parity topology.
     cascade_levels: int = 1
+    # Lane-aligned fusion (EMAVFI.fuse_project): 1x1-project the 67-channel
+    # fusion concat to mid_channels before the DCN stack so the deformable
+    # kernels run at a power-of-two channel count. Changes the parameter
+    # tree (adds fuse_proj); warm-start from a 67-channel checkpoint via
+    # tools/project_checkpoint.py.
+    fuse_project: bool = False
 
     # TPU execution (additions)
     mesh: MeshConfig = field(default_factory=MeshConfig)

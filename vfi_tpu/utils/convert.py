@@ -149,6 +149,9 @@ def infer_model_dims(params: Dict[str, Any]) -> Dict[str, int]:
         "in_channels": int(kernel.shape[2]) // 2,
         "mid_channels": int(kernel.shape[3]),
         "num_blocks": sum(1 for k in p if k.startswith("feat_ext_block")),
+        # Lane-aligned fusion variant (EMAVFI.fuse_project) is visible in
+        # the tree as the extra 1x1 projection module.
+        "fuse_project": "fuse_proj" in p,
     }
 
 
