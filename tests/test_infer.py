@@ -359,3 +359,23 @@ def test_auto_scale_composes_with_tta(rng):
     np.testing.assert_allclose(got, expected, atol=1e-6)
     assert auto.auto_scale_stats["scaled"] == 1
     assert len(auto.auto_scale_stats["probes"]) == 1
+
+
+def test_max_px_per_launch_chunks_match_unchunked(rng):
+    """The engine-level HBM guard: an over-budget batch splits into multiple
+    launches whose concatenation is identical to the monolithic result."""
+    from vfi_tpu.models import EMAVFI
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    kw = dict(mid_channels=8, num_blocks=1, bf16=False)
+    whole = FrameInterpolator(params, max_px_per_launch=None, **kw)
+    # 16x16 = 256 px/pair; budget 600 px -> cap 2 pairs -> 3 launches for b=5
+    chunked = FrameInterpolator(params, max_px_per_launch=600, **kw)
+    f0 = rng.uniform(0, 1, (5, 16, 16, 3)).astype(np.float32)
+    f1 = rng.uniform(0, 1, (5, 16, 16, 3)).astype(np.float32)
+    a = np.asarray(whole.midpoints(f0, f1))
+    b = np.asarray(chunked.midpoints(f0, f1))
+    assert a.shape == b.shape == (5, 16, 16, 3)
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)

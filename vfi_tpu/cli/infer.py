@@ -75,6 +75,10 @@ def main(argv=None) -> int:
                        help="fused Pallas kernels for bounded sampling")
         p.add_argument("--dcn_tile_w", type=int, default=None,
                        help="explicit Pallas DCN column-tile width (e.g. 256): per-tile skip predicates are tighter on trained offsets; bit-identical, auto-ignored for widths it does not divide")
+        p.add_argument("--max_px_per_launch", type=int, default=8_000_000,
+                       help="engine HBM guard: split batches whose total "
+                            "pixel count exceeds this into sequential "
+                            "device launches (0 disables)")
         p.add_argument("--cascade_levels", type=int, default=1,
                        help="EMAVFI self-cascade depth: >1 runs the motion "
                             "stages coarse-to-fine (shared weights) — use "
@@ -161,6 +165,7 @@ def main(argv=None) -> int:
                                    use_pallas=args.use_pallas,
                                    dcn_tile_w=args.dcn_tile_w,
                                    cascade_levels=args.cascade_levels,
+                                   max_px_per_launch=args.max_px_per_launch or None,
                                    mesh=mesh, spatial=args.spatial > 1,
                                    **flow_kw)
         mid = np.asarray(interp.midpoints(load(args.frame0), load(args.frame1)))[0]
@@ -177,6 +182,7 @@ def main(argv=None) -> int:
                                    use_pallas=args.use_pallas,
                                    dcn_tile_w=args.dcn_tile_w,
                                    cascade_levels=args.cascade_levels,
+                                   max_px_per_launch=args.max_px_per_launch or None,
                                    mesh=mesh, spatial=args.spatial > 1,
                                    **flow_kw)
         all_stats = interpolate_videos(
@@ -199,6 +205,7 @@ def main(argv=None) -> int:
                                use_pallas=args.use_pallas,
                                dcn_tile_w=args.dcn_tile_w,
                                cascade_levels=args.cascade_levels,
+                               max_px_per_launch=args.max_px_per_launch or None,
                                mesh=mesh, spatial=args.spatial > 1,
                                **flow_kw)
     from vfi_tpu.infer.video import interpolate_video

@@ -76,7 +76,8 @@ class FrameInterpolator:
                  tta: bool = False,
                  io_uint8: bool = False,
                  auto_scale: Optional[float] = None,
-                 cascade_levels: int = 1):
+                 cascade_levels: int = 1,
+                 max_px_per_launch: Optional[int] = 8_000_000):
         """`spatial=True` additionally shards frame height over the mesh's
         'spatial' axis (single-clip 1080p/4K mode; XLA inserts the conv/
         shift halo exchanges — see tests/test_parallel.py).
@@ -140,6 +141,7 @@ class FrameInterpolator:
         # routing observability: per-call probe values + scaled-path count
         self.auto_scale_stats = {"probes": [], "scaled": 0}
         self.io_dtype = np.uint8 if io_uint8 else np.float32
+        self.max_px_per_launch = max_px_per_launch
         dims = infer_model_dims(params)
         self.model = EMAVFI(
             in_channels=in_channels if in_channels is not None else dims["in_channels"],
@@ -283,10 +285,32 @@ class FrameInterpolator:
         Batches not divisible by the 'data' mesh axis are padded (replicating
         the last pair) and sliced back — shardings stay static under jit.
 
+        Launches are bounded by `max_px_per_launch` (the engine-level HBM
+        guard): a batch whose total pixel count exceeds the budget is split
+        into sequential device launches and re-concatenated, so oversized
+        requests (720p b16, 1080p/4K video batches) degrade to more
+        launches instead of an XLA OOM — previously only the serving
+        batcher enforced this (serve/batcher.py `launch_size`) and a 1080p
+        video demo at the default batch killed the TPU worker.
+
         Args: f0, f1: (B, H, W, 3) in the engine's io dtype — float32 [0, 1]
           by default, uint8 [0, 255] with `io_uint8=True`.
         Returns: (B, H, W, 3) device array in the same convention.
         """
+        b = f0.shape[0]
+        if self.max_px_per_launch is not None and b > 1:
+            d = self.mesh.shape["data"]
+            px = f0.shape[1] * f0.shape[2]
+            cap = max(1, self.max_px_per_launch // px)
+            cap = max(d, cap // d * d)  # keep chunks DP-divisible
+            if b > cap:
+                outs = [self._midpoints_launch(f0[i:i + cap], f1[i:i + cap])
+                        for i in range(0, b, cap)]
+                return jnp.concatenate(outs, axis=0)
+        return self._midpoints_launch(f0, f1)
+
+    def _midpoints_launch(self, f0, f1) -> jnp.ndarray:
+        """One device launch (post-guard): DP padding + dispatch."""
         b = f0.shape[0]
         d = self.mesh.shape["data"]
         pad = (-b) % d
