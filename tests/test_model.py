@@ -306,13 +306,9 @@ def test_cascade_is_trainable(tiny_model_and_params, rng):
     assert float(jnp.abs(jax.tree.leaves(mg)[0]).sum()) > 0.0
 
 
-def test_cascade_spatial_mode_rejected(tiny_model_and_params):
-    _, params = tiny_model_and_params
-    model = EMAVFI(mid_channels=8, num_blocks=1, cascade_levels=2,
-                   spatial_axis="spatial", spatial_global_h=16)
-    f = jnp.zeros((1, 16, 16, 3), jnp.float32)
-    with pytest.raises(ValueError, match="cascade"):
-        model.apply(params, f, f)
+# (cascade + spatial used to be rejected; round 3 implements the global
+# coarse pass — parity covered by
+# tests/test_parallel.py::test_cascade_spatial_shard_map_matches_single_device)
 
 
 def test_fuse_project_tree_and_forward(rng):

@@ -283,3 +283,26 @@ def test_frame_interpolator_spatial_pads_misaligned_height(rng):
         fp1 = np.concatenate([f1, np.repeat(f1[:, -1:], 4, axis=1)], axis=1)
         ref = np.asarray(sp.midpoints(fp0, fp1))[:, :116]
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_cascade_spatial_shard_map_matches_single_device(rng):
+    """cascade_levels=2 under manual spatial sharding (the round-2 gap,
+    models/ema_vfi.py cascade loop): the coarse motion pass + unbounded
+    pre-warp run globally via all_gather, so the sharded forward must
+    reproduce the single-device cascade forward."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from vfi_tpu.parallel import make_mesh
+    from vfi_tpu.parallel.spatial import spatial_interpolate
+
+    base, params = _perturbed_bounded_model_and_params(rng, 128, 48)
+    model = dataclasses.replace(base, cascade_levels=2)
+    f0 = jnp.asarray(rng.uniform(0, 1, (2, 128, 48, 3)).astype(np.float32))
+    f1 = jnp.asarray(rng.uniform(0, 1, (2, 128, 48, 3)).astype(np.float32))
+    ref = jax.jit(model.apply)(params, f0, f1)
+    mesh = make_mesh(data=2, spatial=4)
+    out = spatial_interpolate(model, params, f0, f1, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)

@@ -154,9 +154,6 @@ class FrameInterpolator:
             # auto-detected off the tree (utils/convert.infer_model_dims):
             # checkpoints carry their own topology, no side-channel flag.
             fuse_project=dims.get("fuse_project", False))
-        if cascade_levels > 1 and spatial:
-            raise ValueError("cascade mode is not supported with spatial "
-                             "sharding (the coarse pass is global)")
         self.mesh = mesh if mesh is not None else make_mesh()
         self.reference_compat = reference_compat
         rep = replicated(self.mesh)

@@ -75,7 +75,8 @@ class EMAVFI(nn.Module):
     # keeps full detail. The parameter tree is INDEPENDENT of
     # cascade_levels: checkpoints trained at k=1 warm-start k=2 directly.
     # Extra cost for k=2: one stages-1..3 pass at quarter area (~15% of a
-    # forward). Not supported together with manual spatial sharding.
+    # forward). Under manual spatial sharding the coarse pass + pre-warp
+    # run globally via all_gather (exact; see the cascade loop).
     cascade_levels: int = 1
     # TPU lane-alignment variant: 1x1-project the fusion concat
     # cat(feat M, warped C_in) = M + C_in channels (67 at defaults —
@@ -151,10 +152,6 @@ class EMAVFI(nn.Module):
         if self.cascade_levels < 1:
             raise ValueError(f"cascade_levels must be >= 1, got "
                              f"{self.cascade_levels}")
-        if self.cascade_levels > 1 and self.spatial_axis is not None:
-            raise ValueError("cascade mode is not supported with manual "
-                             "spatial sharding (the coarse pass is global)")
-
         if self.spatial_axis is not None:
             mask, owner_mask = self._row_tools()
             f1, f2 = mask(f1), mask(f2)
@@ -183,9 +180,16 @@ class EMAVFI(nn.Module):
         motion_conv2 = ConvBlock(m, dtype=dt, name="motion_conv2")
         motion_conv3 = ConvBlock(2, act=False, dtype=dt, name="motion_conv3")
 
-        def motion_stages(a, b2):
+        def motion_stages(a, b2, mask=mask, sharded=None):
             """Stages 1-3 (feature extraction, context encoding, motion
-            estimation) on a frame pair -> (features, dense flow)."""
+            estimation) on a frame pair -> (features, dense flow).
+
+            `mask`/`sharded` default to the instance's spatial mode; the
+            cascade's coarse pass under spatial sharding overrides them
+            (identity mask, sharded=False) because it runs on the GLOBAL
+            gathered pair, replicated on every shard."""
+            if sharded is None:
+                sharded = self.spatial_axis is not None
             # 1. Feature extraction (stride-1 trunk at this scale).
             feat = jnp.concatenate([a, b2], axis=-1)
             feat = mask(feat_conv1(feat))
@@ -196,7 +200,7 @@ class EMAVFI(nn.Module):
             ctx = mask(ctx_conv1(feat), 2)
             ctx = mask(ctx_conv2(ctx), 4)
             ctx = ctx_conv3(ctx)
-            if self.spatial_axis is not None:
+            if sharded:
                 # Exact global average pool across shards: sum the rows this
                 # shard owns (each computed exactly thanks to the halo), psum
                 # over the axis, divide by the global pooled extent.
@@ -226,18 +230,60 @@ class EMAVFI(nn.Module):
         #    (per-axis magnitude rescale), and pre-warp frame2 by it with the
         #    exact unbounded warp — the prior can be large; the bounded fast
         #    paths below only ever see the small residual.
-        h_full, w_full = f1.shape[1], f1.shape[2]
+        #
+        #    Under manual spatial sharding the coarse pass and the pre-warp
+        #    are GLOBAL: each shard all_gathers the owned rows (cheap at
+        #    1/4-area coarse scales; the full-res gather for the pre-warp is
+        #    one frame over ICI), computes the identical global coarse flow,
+        #    warps the global frame2, and re-slices its own halo slab — the
+        #    unbounded pre-warp therefore keeps exact single-device
+        #    semantics (a halo could never bound it).
+        if self.spatial_axis is not None:
+            import jax
+            from jax import lax
+
+            n_sp = lax.axis_size(self.spatial_axis)
+            h_local = self.spatial_global_h // n_sp
+            s_idx = lax.axis_index(self.spatial_axis)
+
+            def gather_global(x):
+                owned = lax.dynamic_slice_in_dim(
+                    x, self.spatial_halo, h_local, axis=1)
+                return lax.all_gather(owned, self.spatial_axis, axis=1,
+                                      tiled=True)
+
+            def reslab(xg):
+                padded = jnp.pad(xg, ((0, 0),
+                                      (self.spatial_halo, self.spatial_halo),
+                                      (0, 0), (0, 0)))
+                return lax.dynamic_slice_in_dim(
+                    padded, s_idx * h_local,
+                    h_local + 2 * self.spatial_halo, axis=1)
+
+            h_full, w_full = self.spatial_global_h, f1.shape[2]
+        else:
+            gather_global = reslab = None
+            h_full, w_full = f1.shape[1], f1.shape[2]
         for lvl in range(self.cascade_levels - 1, 0, -1):
             s = 2 ** lvl
             ch, cw = -(-h_full // s), -(-w_full // s)  # ceil: any input size
-            c1 = resize_bilinear(f1, (ch, cw))
-            c2 = resize_bilinear(f2, (ch, cw))
-            _, cflow = motion_stages(c1, c2)
+            if self.spatial_axis is not None:
+                g1, g2 = gather_global(f1), gather_global(f2)
+            else:
+                g1, g2 = f1, f2
+            c1 = resize_bilinear(g1, (ch, cw))
+            c2 = resize_bilinear(g2, (ch, cw))
+            _, cflow = motion_stages(c1, c2,
+                                     mask=lambda x, scale=1: x, sharded=False)
             # flow coordinates need sub-pixel precision at large magnitudes:
             # upsample + rescale in f32 (bf16 ulp at 16 px is 0.0625 px)
             up = resize_bilinear(cflow.astype(jnp.float32), (h_full, w_full))
             scale_vec = jnp.asarray([w_full / cw, h_full / ch], jnp.float32)
-            f2 = warp(f2, up * scale_vec, mode="bilinear")
+            warped_g2 = warp(g2, up * scale_vec, mode="bilinear")
+            if self.spatial_axis is not None:
+                f2 = mask(reslab(warped_g2))
+            else:
+                f2 = warped_g2
 
         feat, flow = motion_stages(f1, f2)
 
