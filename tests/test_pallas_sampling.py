@@ -247,3 +247,50 @@ def test_layer_tile_w_matches_untiled(rng):
     assert pallas_sampling_feasible(h, w, c, c, 2, tile_w=128)
     assert not pallas_sampling_feasible(h, w, c, c, 2, tile_w=96)
     assert not pallas_sampling_feasible(h, w, c, c, 2, tile_w=100)
+
+
+def test_dcn_pallas_v5_matches_exact(rng):
+    """v5 (transposed C-in-sublanes layout) == exact gather DCN for
+    in-range offsets, incl. the host-side pre-shifted copies and host
+    bias add."""
+    from vfi_tpu.ops.pallas.sampling import deform_conv2d_pallas_v5
+
+    b, h, w, cin, cout, k, R = 2, 8, 16, 4, 5, 3, 2
+    x = rng.standard_normal((b, h, w, cin)).astype(np.float32)
+    offset = np.clip(rng.standard_normal((b, h, w, 2 * k * k)) * 1.7,
+                     -R + 0.01, R - 0.01).astype(np.float32)
+    mask = rng.uniform(0, 1, (b, h, w, k * k)).astype(np.float32)
+    weight = (rng.standard_normal((k, k, cin, cout)) * 0.3).astype(np.float32)
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+    exact = deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
+                          jnp.asarray(mask), jnp.asarray(weight),
+                          jnp.asarray(bias))
+    fast = deform_conv2d_pallas_v5(jnp.asarray(x), jnp.asarray(offset),
+                                   jnp.asarray(mask), jnp.asarray(weight),
+                                   jnp.asarray(bias), max_offset=R)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_dcn_pallas_v5_model_channels(rng):
+    """v5 at the flagship's channel counts (67 and the fuse_project 64)
+    against the XLA shifts op, non-128 width (lane padding path)."""
+    from vfi_tpu.ops.deform_conv_shifts import deform_conv2d_shifts
+    from vfi_tpu.ops.pallas.sampling import deform_conv2d_pallas_v5
+
+    for cin in (67, 64):
+        b, h, w, cout, k, R = 1, 8, 48, cin, 3, 2
+        x = rng.standard_normal((b, h, w, cin)).astype(np.float32)
+        offset = np.clip(rng.standard_normal((b, h, w, 2 * k * k)) * 1.2,
+                         -R + 0.01, R - 0.01).astype(np.float32)
+        mask = rng.uniform(0, 1, (b, h, w, k * k)).astype(np.float32)
+        weight = (rng.standard_normal((k, k, cin, cout)) * 0.1
+                  ).astype(np.float32)
+        ref = deform_conv2d_shifts(jnp.asarray(x), jnp.asarray(offset),
+                                   jnp.asarray(mask), jnp.asarray(weight),
+                                   None, max_offset=R)
+        got = deform_conv2d_pallas_v5(jnp.asarray(x), jnp.asarray(offset),
+                                      jnp.asarray(mask), jnp.asarray(weight),
+                                      None, max_offset=R)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)

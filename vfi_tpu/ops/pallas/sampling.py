@@ -932,3 +932,254 @@ def bounded_warp_pallas(image: jnp.ndarray, flow: jnp.ndarray,
         ],
     )(flow, xp)
     return out[..., :c]
+
+
+# --------------------------------------------------------------------------
+# v5: transposed compute layout — C in SUBLANES, W in LANES.
+#
+# v4's structural ceiling is lane padding: every (TH, W, C) sample buffer,
+# blend term and tap matmul runs at cpad = pad128(C) lanes — 1.9x wasted
+# VPU/MXU work at the model's C=67 (and still 2x at a lane-dense C=64,
+# since 64 also pads to 128 in isolation). v5 transposes the compute
+# layout to (TH, C, W): the channel dim sits in SUBLANES (padded only to
+# the 8-sublane tile: 67 -> 72, a 7% tax instead of 91%) and the image
+# width provides dense 128-lane tiles. Per blend term the VPU touches
+# C_pad8/128ths of v4's vregs.
+#
+# Column shifts (the reason v4 stages shifted copies in-kernel) become
+# LANE shifts in this layout — instead of risking lane-rotate relayouts,
+# the HOST precomputes one transposed, column-shifted, zero-padded copy of
+# the input per absolute shift ux (<= 2(R+padding)+1 = 7 copies at R=2):
+# XLA emits them as fused pad/slice/transpose passes (~1 ms of HBM traffic
+# at 720p against a ~33 ms/layer kernel), and the kernel's only dynamic
+# slicing is in the leading (row) dim — always free. The per-ux slab DMA
+# is skipped entirely when the SMEM offset bounds prove no tap uses that
+# shift. Bias is added on the host (a fused elementwise pass over the
+# output) so the kernel never broadcasts from a leading dim.
+#
+# The tap matmul contracts over sublane-resident C with cout in the
+# result's LEADING dim — so cout needs no 128-padding either:
+#     out[cout, TH, W] += w_tap[C, cout]^T . samp[TH, C, W]
+# --------------------------------------------------------------------------
+
+
+def _pick_th_v5(h: int, wl: int, cs: int, cout: int, m: int, n_taps: int,
+                itemsize: int = 2, budget: int = 24 * 1024 * 1024) -> int:
+    """Row-slab height for the v5 buffer set: one (TH + 2m, Cs, Wl) slab,
+    one (TH, Cs, Wl) sample buffer, double-buffered f32 plane blocks and
+    out blocks. TH must divide h and be a multiple of 8 (TH is the
+    second-minor dim of the plane/out blocks)."""
+    cands = (64, 48, 32, 16, 8) + ((h,) if h < 8 else ())
+    for b in (budget, 48 * 1024 * 1024):
+        for th in cands:
+            if h % th != 0:
+                continue
+            slab = (th + 2 * m) * cs * wl * itemsize
+            samp = th * cs * wl * itemsize
+            planes = 2 * 3 * n_taps * _round8(th) * wl * 4
+            blocks = 2 * cout * th * wl * itemsize
+            if slab + samp + planes + blocks <= b:
+                return th
+    raise ValueError(
+        f"no VMEM-feasible v5 row slab for h={h} wl={wl} cs={cs} halo={m}")
+
+
+def pallas_sampling_v5_feasible(h: int, w: int, c: int, cout: int, R: int,
+                                itemsize: int = 2) -> bool:
+    """Static feasibility of the v5 kernel for this shape."""
+    if not pallas_backend_supported():
+        return False
+    try:
+        _pick_th_v5(h, -(-w // 128) * 128, _round8(c), cout, R + 1, 9,
+                    itemsize=itemsize)
+        return True
+    except ValueError:
+        return False
+
+
+def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
+                        x_tile, samp_ref, sem, *, kh: int, kw: int, R: int,
+                        TH: int, W: int, C: int, cout: int, padding: int,
+                        ux_list: tuple):
+    """Transposed-layout DCN forward (see the v5 block comment).
+
+    pm_ref: (1, 3*taps, TH, W) f32 pre-clipped planes (dy*9, dx*9, mask*9).
+    bd_ref: (1, 1, 4, taps) SMEM clipped-offset bounds for this row slab.
+    w_ref: (taps, Cs, cout) tap weights (C sublane-padded with zeros).
+    x_hbm: (B, n_ux, Hp, Cs, Wl) — per-absolute-shift transposed copies.
+    out_ref: (1, cout, TH, W) block of the (B, cout, H, W) output.
+    x_tile: (TH + 2M, Cs, Wl) VMEM slab. samp_ref: (TH, Cs, Wl).
+    """
+    M = R + 1
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+    n_taps = kh * kw
+
+    out_ref[0] = jnp.zeros((cout, TH, W), out_ref.dtype)
+
+    for ui, ux in enumerate(ux_list):
+        rel_j = [j for j in range(kw) if abs(ux - (j - padding)) <= R]
+
+        # Skip the slab DMA when no tap can use this absolute shift.
+        preds = []
+        for j in rel_j:
+            sx = ux - (j - padding)
+            for i in range(kh):
+                t = i * kw + j
+                preds.append(jnp.logical_and(
+                    bd_ref[0, 0, 3, t] > sx - 1,
+                    bd_ref[0, 0, 2, t] < sx + 1))
+        any_pred = functools.reduce(jnp.logical_or, preds)
+
+        @pl.when(any_pred)
+        def _(ui=ui, ux=ux, rel_j=rel_j):
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, ui, pl.ds(r * TH, TH + 2 * M)], x_tile, sem)
+            cp.start()
+            cp.wait()
+
+            for j in rel_j:
+                sx = ux - (j - padding)
+
+                def blend(i, _, j=j, sx=sx):
+                    t = i * kw + j
+                    pred = jnp.logical_and(bd_ref[0, 0, 3, t] > sx - 1,
+                                           bd_ref[0, 0, 2, t] < sx + 1)
+                    base = M - padding - R + i
+
+                    @pl.when(pred)
+                    def _():
+                        dy = pm_ref[0, t]                       # (TH, W) f32
+                        axm = jnp.maximum(
+                            1.0 - jnp.abs(pm_ref[0, n_taps + t] - sx), 0.0
+                        ) * pm_ref[0, 2 * n_taps + t]
+                        expr = None
+                        for v in range(R - 1, R + 2):  # core |shift| <= 1
+                            ay = jnp.maximum(
+                                1.0 - jnp.abs(dy - (v - R)), 0.0)
+                            wgt = (ay * axm)[:, None, :].astype(
+                                samp_ref.dtype)                 # (TH, 1, W)
+                            rows = x_tile[pl.ds(base + v, TH)]  # (TH, Cs, W)
+                            term = wgt * rows
+                            expr = term if expr is None else expr + term
+                        samp_ref[...] = expr
+
+                        for v in (list(range(R - 1)) +
+                                  list(range(R + 2, 2 * R + 1))):
+                            predv = jnp.logical_and(
+                                bd_ref[0, 0, 1, t] > (v - R) - 1,
+                                bd_ref[0, 0, 0, t] < (v - R) + 1)
+
+                            @pl.when(predv)
+                            def _(v=v):
+                                ay = jnp.maximum(
+                                    1.0 - jnp.abs(dy - (v - R)), 0.0)
+                                wgt = (ay * axm)[:, None, :].astype(
+                                    samp_ref.dtype)
+                                samp_ref[...] += wgt * x_tile[
+                                    pl.ds(base + v, TH)]
+
+                        # (cout, TH, W) += w_tap^T . samp over sublane C
+                        out_ref[0] += jax.lax.dot_general(
+                            w_ref[t], samp_ref[...],
+                            dimension_numbers=(((0,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).astype(out_ref.dtype)
+
+                    return 0
+
+                jax.lax.fori_loop(0, kh, blend, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "padding"))
+def deform_conv2d_pallas_v5(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    weight: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    max_offset: int = 3,
+    padding: int = 1,
+) -> jnp.ndarray:
+    """Fused bounded-offset DCNv2, transposed compute layout (v5).
+
+    Same contract and numerics as `deform_conv2d_pallas_v4` /
+    `deform_conv2d_shifts` (NHWC in/out, stride 1, og=1, groups=1);
+    internally C rides the sublane dim so the VPU blend and tap matmuls
+    run lane-dense at any channel count.
+    """
+    b, h, w, cin = x.shape
+    kh, kw, cin_g, cout = weight.shape
+    if cin_g != cin:
+        raise ValueError("groups == 1 only")
+    R = int(max_offset)
+    M = R + 1
+    dtype = x.dtype
+    cs = _round8(cin)
+    wl = -(-w // 128) * 128
+    isz = jnp.dtype(dtype).itemsize
+    TH = _pick_th_v5(h, wl, cs, cout, M, kh * kw, itemsize=isz)
+
+    ux_list = tuple(range(-(padding + R), (kw - 1 - padding) + R + 1))
+    # (B, Hp, Cs, W + pad): transpose once, then one shifted zero-padded
+    # copy per absolute column shift (fused XLA pad/slice passes).
+    xt = jnp.pad(x, ((0, 0), (M, M), (0, 0), (0, cs - cin))
+                 ).transpose(0, 1, 3, 2)                   # (B, Hp, Cs, W)
+    side = padding + R
+    xt_wide = jnp.pad(xt, ((0, 0), (0, 0), (0, 0),
+                           (side, side + wl - w)))
+    xs = jnp.stack([
+        jax.lax.slice_in_dim(xt_wide, side + ux, side + ux + wl, axis=3)
+        for ux in ux_list], axis=1)                        # (B, n_ux, Hp, Cs, Wl)
+
+    w_taps = jnp.pad(weight.reshape(kh * kw, cin, cout),
+                     ((0, 0), (0, cs - cin), (0, 0)))
+
+    n_taps = kh * kw
+    msk = mask if mask is not None else jnp.ones((b, h, w, n_taps), dtype)
+    planes = jnp.concatenate([
+        jnp.clip(offset[..., 0::2].astype(jnp.float32), -R, R),
+        jnp.clip(offset[..., 1::2].astype(jnp.float32), -R, R),
+        msk.astype(jnp.float32)], axis=-1).transpose(0, 3, 1, 2)
+    planes = jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (0, wl - w)))
+
+    nrows = h // TH
+    r6 = planes[:, :2 * n_taps, :, :w].reshape(b, 2 * n_taps, nrows, TH, w)
+    mn = r6.min(axis=(3, 4)).transpose(0, 2, 1)            # (B, nr, 2*taps)
+    mx = r6.max(axis=(3, 4)).transpose(0, 2, 1)
+    bounds = jnp.stack([mn[..., :n_taps], mx[..., :n_taps],
+                        mn[..., n_taps:], mx[..., n_taps:]], axis=2)
+    # (B, nr, 4, taps)
+
+    kern = functools.partial(
+        _sampling_kernel_v5, kh=kh, kw=kw, R=R, TH=TH, W=wl, C=cs,
+        cout=cout, padding=padding, ux_list=ux_list)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(b, nrows),
+        in_specs=[
+            pl.BlockSpec((1, 3 * n_taps, TH, wl),
+                         lambda bi, ri: (bi, 0, ri, 0)),
+            pl.BlockSpec((1, 1, 4, n_taps),
+                         lambda bi, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # weights
+            pl.BlockSpec(memory_space=pl.ANY),             # xs in HBM
+        ],
+        out_specs=pl.BlockSpec((1, cout, TH, wl),
+                               lambda bi, ri: (bi, 0, ri, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, cout, h, wl), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 2 * M, cs, wl), dtype),
+            pltpu.VMEM((TH, cs, wl), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(planes, bounds, w_taps.astype(dtype), xs)
+
+    out = out[..., :w].transpose(0, 2, 3, 1)               # NHWC
+    if bias is not None:
+        out = out + bias.reshape(1, 1, 1, cout).astype(dtype)
+    return out
