@@ -31,7 +31,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CASES = ("dcn_v4_f32", "dcn_v4", "dcn_v4_tiled", "warp_v2")
+CASES = ("dcn_v4_f32", "dcn_v4", "dcn_v4_tiled", "dcn_v5", "warp_v2",
+         "model_720p")
+# model_720p compiles TWO full-model graphs (Pallas + XLA) in one
+# subprocess; everything else is a single small kernel.
+CASE_TIMEOUT_S = {"model_720p": 900}
 PER_CASE_TIMEOUT_S = 420  # first compile 20-40s; relay may queue behind other work
 
 
@@ -103,6 +107,47 @@ def run_case(case: str) -> dict:
         ref = np.asarray(deform_conv2d_pallas_v4(*args, max_offset=2),
                          np.float32)
         tol = 1e-5
+    elif case == "dcn_v5":
+        # v5 transposed-layout kernel (C in sublanes): logic + lowering
+        # check at the flagship channel count, f32, vs the XLA shifts op.
+        from vfi_tpu.ops.pallas.sampling import deform_conv2d_pallas_v5
+
+        x, off, msk, wgt, bias = _dcn_inputs(16, 256, 67, 67, 2, "f32")
+        args = [jnp.asarray(a) for a in (x, off, msk, wgt, bias)]
+        got = np.asarray(deform_conv2d_pallas_v5(*args, max_offset=2),
+                         np.float32)
+        ref = np.asarray(deform_conv2d_shifts(*args, max_offset=2), np.float32)
+        tol = 4 * float(np.max(np.abs(ref))) * 2.0 ** -8
+    elif case == "model_720p":
+        # COMPOSITION check (VERDICT r2 #4): one full flagship forward at
+        # 720p — Pallas kernels + tw256 + cascade — against the XLA-ops
+        # path of the same model. Covers what the isolated kernel cases
+        # cannot: the kernels embedded in the real graph (layout
+        # transitions, bf16 policy, cascade pre-warp). Uses the shipped
+        # checkpoint when present so offsets are the trained regime.
+        import jax
+
+        from vfi_tpu.models import EMAVFI
+        from vfi_tpu.utils.convert import load_params_npz
+
+        ck = os.path.join(REPO, "artifacts", "emavfi_q12_best.npz")
+        kw = dict(dtype=jnp.bfloat16, dcn_max_offset=2, warp_max_flow=16,
+                  cascade_levels=2)
+        m_pal = EMAVFI(use_pallas=True, dcn_tile_w=256, **kw)
+        m_xla = EMAVFI(use_pallas=False, **kw)
+        if os.path.exists(ck):
+            params = load_params_npz(ck)
+        else:
+            z = jnp.zeros((1, 64, 64, 3), jnp.float32)
+            params = jax.jit(m_xla.init)(jax.random.PRNGKey(0), z, z)
+        rng = np.random.default_rng(3)
+        f0 = jnp.asarray(rng.random((1, 720, 1280, 3)), jnp.float32)
+        f1 = jnp.asarray(rng.random((1, 720, 1280, 3)), jnp.float32)
+        got = np.asarray(jax.jit(m_pal.apply)(params, f0, f1), np.float32)
+        ref = np.asarray(jax.jit(m_xla.apply)(params, f0, f1), np.float32)
+        # outputs are [0,1]; the paths share blend formulation, so the gap
+        # is bf16 reorder noise through 3 DCNs + warp + tanh
+        tol = 0.04
     elif case == "warp_v2":
         import numpy as np_
 
@@ -154,7 +199,8 @@ def main(argv=None) -> int:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--case", case],
-                capture_output=True, text=True, timeout=args.timeout,
+                capture_output=True, text=True,
+                timeout=CASE_TIMEOUT_S.get(case, args.timeout),
                 cwd=REPO)
             line = [ln for ln in proc.stdout.splitlines()
                     if ln.startswith("{")]
@@ -166,7 +212,8 @@ def main(argv=None) -> int:
                     "seconds": round(time.time() - t0, 1)}
         except subprocess.TimeoutExpired:
             return {"case": case, "ok": False,
-                    "error": f"timeout after {args.timeout}s "
+                    "error": f"timeout after "
+                             f"{CASE_TIMEOUT_S.get(case, args.timeout)}s "
                              "(compile hang? see docs/PERFORMANCE.md)",
                     "seconds": round(time.time() - t0, 1)}
 
