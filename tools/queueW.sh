@@ -1,0 +1,118 @@
+#!/bin/bash
+# Round-3 chain: q13 = fuse_project (lane-aligned 64ch fusion) fine-tune
+# from the PROJECTED q12 flagship (tools/project_checkpoint.py surgery:
+# 1x1 selection projection + sliced DCN/offset/rec weights; q13-init
+# agrees with q12 to 31.4 dB on a val crop). VERDICT r2 #1: the goal is
+# throughput (the DCN stack lane-dense at 64ch + the v5 transposed kernel)
+# with native-res quality within 0.1 dB of q12's 26.098.
+#
+#   0. Wait for queueV (the q12 adjudication evals) so the chip is free.
+#   1. Bounded 4-epoch hardware gate.
+#   2. q13 fine-tune (cascade 2 + flow_prior, q12 recipe), watcher-secured.
+#   3. Native-res eval; secure iff >= q12 - 0.1 dB.
+# Idempotent via step markers in runs/queueW/.
+set -u
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+cd "$REPO"
+mkdir -p runs/queueW
+LOG=runs/queueW/queueW.log
+exec >>"$LOG" 2>&1
+echo "=== queueW start $(date -u +%FT%TZ) ==="
+
+queueV_running() {
+  for f in /proc/[0-9]*/cmdline; do
+    tr '\0' ' ' < "$f" 2>/dev/null | grep -q "tools/queueV.sh" && return 0
+  done
+  return 1
+}
+for i in $(seq 1 360); do   # up to 6 h
+  [ -f runs/queueV/COMPLETE ] && break
+  queueV_running || { echo "queueV gone without COMPLETE - proceeding $(date -u +%FT%TZ)"; break; }
+  sleep 60
+done
+
+commit_retry() {  # commit_retry <msg> <file>...
+  local msg="$1"; shift
+  for a in 1 2 3 4 5; do
+    if git add -f "$@" && git commit -q -m "$msg"; then return 0; fi
+    sleep $((a * 5))
+  done
+  echo "COMMIT FAILED after retries: $msg"
+  return 1
+}
+
+INIT=artifacts/emavfi_q13_init.npz
+INITF=artifacts/emavfi_q13_init.flow.npz
+Q12_PSNR=$(python -c "import json; print(json.load(open('artifacts/q12_eval.json'))['mean_psnr'])")
+# resume from the watcher-secured wip after a restart
+if [ -f artifacts/emavfi_q13_wip.npz ]; then
+  INIT=artifacts/emavfi_q13_wip.npz
+  INITF=artifacts/emavfi_q13_wip.flow.npz
+  echo "resuming from watcher-secured wip"
+fi
+
+RECIPE="--batch_size 16 --accum_steps 8 --remat true \
+  --random_rotation false --consistent_jitter true \
+  --crop_size [320,320] --target_unit_range true \
+  --best_metric val_psnr --dcn_max_offset 2 --warp_max_flow 16 \
+  --use_pallas true --ema_decay 0.998 --flow_prior true \
+  --cascade_levels 2 --fuse_project true \
+  --lr_schedule cosine --learning_rate 1e-4 --cosine_min_lr 5e-6"
+
+# --- step 1: bounded hardware gate -------------------------------------------
+if [ ! -f runs/queueW/gate.done ]; then
+  rm -rf runs/q13gate
+  timeout 2400 python train.py --config config/train_config.yaml \
+    $RECIPE --num-epochs 4 \
+    --init_model_path "$INIT" --init_flow_path "$INITF" \
+    --checkpoint_path runs/q13gate/ckpt --best_model_path runs/q13gate/best \
+    && touch runs/queueW/gate.done
+  if [ ! -f runs/queueW/gate.done ]; then
+    echo "GATE FAILED - aborting queueW (no COMPLETE marker)"; exit 1
+  fi
+fi
+
+# --- step 2: q13 fine-tune ----------------------------------------------------
+EPOCHS=200   # ~40 s/epoch -> ~2.2 h
+if [ ! -f runs/queueW/q13.done ]; then
+  nohup bash tools/ckpt_watcher.sh q13 runs/q13/best 600 >/dev/null 2>&1 &
+  echo $! > /tmp/q13_watcher.pid
+  timeout 10800 python train.py --config config/train_config.yaml \
+    $RECIPE --num-epochs "$EPOCHS" \
+    --init_model_path "$INIT" --init_flow_path "$INITF" \
+    --checkpoint_path runs/q13/ckpt --best_model_path runs/q13/best \
+    && touch runs/queueW/q13.done
+  kill "$(cat /tmp/q13_watcher.pid)" 2>/dev/null || true
+fi
+
+# --- step 3: eval + secure-if-close -------------------------------------------
+if [ -f runs/q13/best.npz ] && [ ! -f runs/queueW/eval.done ]; then
+  timeout 3600 python eval.py --data-dir data/processed/val \
+    --model_path runs/q13/best.npz --flow_model runs/q13/best.flow.npz \
+    --flow_prior --cascade_levels 2 --dcn_max_offset 2 --warp_max_flow 16 \
+    --use_pallas --json > runs/queueW/q13_eval.json && touch runs/queueW/eval.done
+  echo "q13 eval:"; cat runs/queueW/q13_eval.json
+fi
+if [ -f runs/queueW/eval.done ] && [ ! -f runs/queueW/secured ]; then
+  Q13=$(python -c "import json; print(json.load(open('runs/queueW/q13_eval.json'))['mean_psnr'])")
+  # throughput variant: within 0.1 dB of q12 is the acceptance bar
+  if python -c "exit(0 if $Q13 >= $Q12_PSNR - 0.1 else 1)"; then
+    cp runs/q13/best.npz artifacts/emavfi_q13_best.npz
+    cp runs/q13/best.flow.npz artifacts/emavfi_q13_best.flow.npz
+    cp runs/queueW/q13_eval.json artifacts/q13_eval.json
+    commit_retry "Secure q13 fuse_project fine-tune (lane-aligned 64ch fusion, within 0.1 dB of q12)" \
+      artifacts/emavfi_q13_best.npz artifacts/emavfi_q13_best.flow.npz artifacts/q13_eval.json
+    touch runs/queueW/secured
+  else
+    cp runs/queueW/q13_eval.json artifacts/q13_eval_rejected.json
+    commit_retry "q13 fuse_project fine-tune below the q12-0.1dB bar (eval on record)" \
+      artifacts/q13_eval_rejected.json
+  fi
+fi
+
+if [ -f runs/queueW/gate.done ] && [ -f runs/queueW/q13.done ] && [ -f runs/queueW/eval.done ]; then
+  echo "=== queueW COMPLETE $(date -u +%FT%TZ) ==="
+  touch runs/queueW/COMPLETE
+else
+  echo "=== queueW INCOMPLETE $(date -u +%FT%TZ) (missing step markers) ==="
+fi

@@ -21,7 +21,7 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 cd "$REPO"
 mkdir -p runs/queueM runs/queueM3 runs/queueN runs/queueN2 runs/queueO \
          runs/queueP runs/queueQ runs/queueR runs/queueS runs/queueT runs/queueU \
-         runs/queueV
+         runs/queueV runs/queueW
 
 # --- 1. marker reconstruction from committed artifacts -----------------------
 # -s (non-empty), not -f: a failed step can leave a truncated/empty artifact
@@ -73,6 +73,11 @@ if [ -f runs/queueV/tta.done ] && [ -f runs/queueV/auto.done ] \
     && [ -f runs/queueV/autotta.done ]; then
   touch runs/queueV/COMPLETE
 fi
+# queueW (q13 fuse_project fine-tune)
+[ -s artifacts/emavfi_q13_wip.npz ] && touch runs/queueW/gate.done
+if [ -s artifacts/q13_eval.json ] || [ -s artifacts/q13_eval_rejected.json ]; then
+  touch runs/queueW/q13.done runs/queueW/eval.done runs/queueW/COMPLETE
+fi
 
 # exact argv match ("bash tools/<q>.sh"): a loose substring grep would
 # count an editor/less/tail holding the script open as "running" and
@@ -95,6 +100,10 @@ elif [ ! -f runs/queueN/COMPLETE ]; then
   if running queueN; then echo "queueN already running"; else launch queueN; fi
 elif [ ! -f runs/queueT/COMPLETE ]; then
   if running queueT; then echo "queueT already running"; else launch queueT; fi
+elif [ ! -f runs/queueV/COMPLETE ]; then
+  if running queueV; then echo "queueV already running"; else launch queueV; fi
+elif [ ! -f runs/queueW/COMPLETE ]; then
+  if running queueW; then echo "queueW already running"; else launch queueW; fi
 else
   echo "TPU stages complete"
 fi
