@@ -170,6 +170,11 @@ def main():
         for tw in (int(t) for t in str(args.tile_w).split(",")):
             kernels[f"v4-tw{tw}"] = functools.partial(
                 deform_conv2d_pallas_v4, max_offset=r, tile_w=tw)
+    if "v5" in args.kernels:  # transposed layout (C in sublanes)
+        from vfi_tpu.ops.pallas.sampling import deform_conv2d_pallas_v5
+
+        kernels["pallas-v5"] = functools.partial(
+            deform_conv2d_pallas_v5, max_offset=r)
     if "v4b" in args.kernels:  # double-buffered sample scratch
         kernels["pallas-v4b2"] = functools.partial(
             deform_conv2d_pallas_v4, max_offset=r, samp_bufs=2)

@@ -1000,7 +1000,7 @@ def pallas_sampling_v5_feasible(h: int, w: int, c: int, cout: int, R: int,
 def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
                         x_tile, samp_ref, sem, *, kh: int, kw: int, R: int,
                         TH: int, W: int, C: int, cout: int, padding: int,
-                        ux_list: tuple):
+                        ux_list: tuple, _dbg: str = "full"):
     """Transposed-layout DCN forward (see the v5 block comment).
 
     pm_ref: (1, 3*taps, TH, W) f32 pre-clipped planes (dy*9, dx*9, mask*9).
@@ -1016,6 +1016,8 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
     n_taps = kh * kw
 
     out_ref[0] = jnp.zeros((cout, TH, W), out_ref.dtype)
+    if _dbg == "empty":   # block pipeline + init only
+        return
 
     for ui, ux in enumerate(ux_list):
         rel_j = [j for j in range(kw) if abs(ux - (j - padding)) <= R]
@@ -1037,6 +1039,8 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
                 x_hbm.at[b, ui, pl.ds(r * TH, TH + 2 * M)], x_tile, sem)
             cp.start()
             cp.wait()
+            if _dbg == "dma":   # DMA loop only, no compute
+                return
 
             for j in rel_j:
                 sx = ux - (j - padding)
@@ -1049,6 +1053,14 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
 
                     @pl.when(pred)
                     def _():
+                        if _dbg == "noblend":
+                            samp_ref[...] = x_tile[pl.ds(M, TH)]
+                            out_ref[0] += jax.lax.dot_general(
+                                w_ref[t], samp_ref[...],
+                                dimension_numbers=(((0,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            ).astype(out_ref.dtype)
+                            return
                         dy = pm_ref[0, t]                       # (TH, W) f32
                         axm = jnp.maximum(
                             1.0 - jnp.abs(pm_ref[0, n_taps + t] - sx), 0.0
@@ -1079,6 +1091,8 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
                                 samp_ref[...] += wgt * x_tile[
                                     pl.ds(base + v, TH)]
 
+                        if _dbg == "nodot":
+                            return
                         # (cout, TH, W) += w_tap^T . samp over sublane C
                         out_ref[0] += jax.lax.dot_general(
                             w_ref[t], samp_ref[...],
@@ -1091,7 +1105,8 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
                 jax.lax.fori_loop(0, kh, blend, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_offset", "padding"))
+@functools.partial(jax.jit, static_argnames=("max_offset", "padding",
+                                             "_dbg"))
 def deform_conv2d_pallas_v5(
     x: jnp.ndarray,
     offset: jnp.ndarray,
@@ -1100,6 +1115,7 @@ def deform_conv2d_pallas_v5(
     bias: Optional[jnp.ndarray] = None,
     max_offset: int = 3,
     padding: int = 1,
+    _dbg: str = "full",
 ) -> jnp.ndarray:
     """Fused bounded-offset DCNv2, transposed compute layout (v5).
 
@@ -1153,7 +1169,7 @@ def deform_conv2d_pallas_v5(
 
     kern = functools.partial(
         _sampling_kernel_v5, kh=kh, kw=kw, R=R, TH=TH, W=wl, C=cs,
-        cout=cout, padding=padding, ux_list=ux_list)
+        cout=cout, padding=padding, ux_list=ux_list, _dbg=_dbg)
 
     out = pl.pallas_call(
         kern,
