@@ -657,3 +657,53 @@ def test_trainer_cascade_smoke(tmp_path, rng):
     trainer.ckpt.close()
     assert np.isfinite(history["val_loss"][0])
     assert os.path.exists(str(tmp_path / "best") + ".npz")
+
+
+def test_fuse_project_trainer_warm_start_from_projected(tmp_path, rng):
+    """The queueW path: a 67ch-topology checkpoint run through
+    tools/project_checkpoint.py warm-starts a fuse_project=True Trainer and
+    one train step runs (config plumb + surgery tree compatibility)."""
+    import sys as _sys
+
+    from PIL import Image
+
+    from vfi_tpu.train.checkpoints import save_params_npz
+    from vfi_tpu.train.loop import Trainer
+    from vfi_tpu.utils.config import MeshConfig, TrainConfig
+
+    _sys.path.insert(0, "tools")
+    from project_checkpoint import project_tree
+
+    root = tmp_path / "data"
+    for split in ("train", "val"):
+        d = root / split / "scene"
+        d.mkdir(parents=True)
+        for i in range(3):
+            img = rng.integers(0, 255, (20, 24, 3)).astype(np.uint8)
+            Image.fromarray(img).save(d / f"f{i}.png")
+
+    donor_model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    donor = jax.jit(donor_model.init)(jax.random.PRNGKey(7), x, x)
+    save_params_npz(donor, str(tmp_path / "donor.npz"))
+    z = np.load(tmp_path / "donor.npz")
+    proj, _ = project_tree({k: z[k] for k in z.files})
+    np.savez(tmp_path / "proj.npz", **proj)
+
+    cfg = TrainConfig(
+        batch_size=2, num_epochs=1,
+        train_data_dir=str(root / "train"), val_data_dir=str(root / "val"),
+        crop_size=(16, 16), random_rotation=False, horizontal_flip=False,
+        color_jitter=None, random_grayscale=0.0,
+        vgg_weight=0.0, temporal_weight=0.0,
+        mid_channels=8, num_blocks=1, bf16=False, fuse_project=True,
+        mesh=MeshConfig(data=1, spatial=1),
+        init_model_path=str(tmp_path / "proj.npz"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        best_model_path=str(tmp_path / "best"),
+        output_image_path=str(tmp_path / "imgs"))
+    trainer = Trainer(cfg)
+    assert "fuse_proj" in trainer.state.params["params"]
+    history = trainer.run()
+    assert len(history["val_loss"]) == 1
+    assert np.isfinite(history["val_loss"][0])
