@@ -19,15 +19,18 @@ LOG=runs/queueW/queueW.log
 exec >>"$LOG" 2>&1
 echo "=== queueW start $(date -u +%FT%TZ) ==="
 
-queueV_running() {
+chain_running() {  # chain_running <name>
   for f in /proc/[0-9]*/cmdline; do
-    tr '\0' ' ' < "$f" 2>/dev/null | grep -q "tools/queueV.sh" && return 0
+    tr '\0' ' ' < "$f" 2>/dev/null | grep -q "tools/$1.sh" && return 0
   done
   return 1
 }
-for i in $(seq 1 360); do   # up to 6 h
-  [ -f runs/queueV/COMPLETE ] && break
-  queueV_running || { echo "queueV gone without COMPLETE - proceeding $(date -u +%FT%TZ)"; break; }
+# run after the proof chain (queueX), which itself follows queueV
+for i in $(seq 1 420); do   # up to 7 h
+  [ -f runs/queueX/COMPLETE ] && break
+  if ! chain_running queueX && ! chain_running queueV; then
+    echo "queueX/queueV gone without COMPLETE - proceeding $(date -u +%FT%TZ)"; break
+  fi
   sleep 60
 done
 
@@ -72,8 +75,22 @@ if [ ! -f runs/queueW/gate.done ]; then
   fi
 fi
 
-# --- step 2: q13 fine-tune ----------------------------------------------------
-EPOCHS=200   # ~40 s/epoch -> ~2.2 h
+# --- step 2: q13 fine-tune (sized to the round clock) -------------------------
+START=$(cat /tmp/round3_start 2>/dev/null || echo 0)
+NOW=$(date -u +%s)
+if [ "$START" -gt 0 ]; then
+  REMAIN=$(( 28800 - (NOW - START) ))
+else
+  REMAIN=10800
+fi
+# leave ~45 min for the eval step + driver-end bench
+EPOCHS=$(( (REMAIN - 2700) / 40 ))
+[ "$EPOCHS" -gt 200 ] && EPOCHS=200
+if [ "$EPOCHS" -lt 10 ]; then
+  echo "not enough round time for q13 (REMAIN=${REMAIN}s) - leaving for next round"
+  exit 0
+fi
+echo "q13 sized to $EPOCHS epochs (remain ${REMAIN}s)"
 if [ ! -f runs/queueW/q13.done ]; then
   nohup bash tools/ckpt_watcher.sh q13 runs/q13/best 600 >/dev/null 2>&1 &
   echo $! > /tmp/q13_watcher.pid
