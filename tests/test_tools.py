@@ -38,8 +38,9 @@ def test_profile_forward_strip_and_rollup():
 
 
 def test_bench_batch_sweep(monkeypatch, capsys):
-    """bench.main() sweeps batch upward on the winning config, keeps the
-    best-throughput batch (>2% gain required), and survives an OOM rung."""
+    """bench.main() runs the FULL b2-b16 sweep on the winning config,
+    reports the best-throughput batch, and a failed rung (OOM despite the
+    chunking guard) is skipped instead of aborting the sweep."""
     import json
 
     import bench
@@ -52,28 +53,28 @@ def test_bench_batch_sweep(monkeypatch, capsys):
         calls.append(b)
         if b == 16:
             raise RuntimeError("RESOURCE_EXHAUSTED")  # simulated chip OOM
-        return {4: 10.0, 8: 15.0}[b]
+        return {2: 8.0, 4: 10.0, 8: 15.0}[b]
 
     monkeypatch.setattr(bench, "_measure", fake)
     assert bench.main() == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert calls == [4, 8, 16]
+    assert calls == [4, 2, 8, 16]
     assert out["value"] == 15.0
     assert "_b8_" in out["metric"]
     assert out["vs_baseline"] == round(15.0 / bench.CPU_BASELINE_FPS, 2)
 
-    # no-gain rung: b8 within 2% of b4 -> stop early, keep b4
+    # flat sweep: best stays the base batch
     calls.clear()
 
     def flat(kwargs, b=4, h=720, w=1280, iters=10):
         calls.append(b)
-        return {4: 10.0, 8: 10.1}[b]
+        return {2: 9.0, 4: 10.0, 8: 10.1, 16: 9.5}[b]
 
     monkeypatch.setattr(bench, "_measure", flat)
     assert bench.main() == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert calls == [4, 8]
-    assert out["value"] == 10.0 and "_b4_" in out["metric"]
+    assert calls == [4, 2, 8, 16]
+    assert out["value"] == 10.1 and "_b8_" in out["metric"]
 
 
 def test_make_soup_uniform_average(tmp_path):
