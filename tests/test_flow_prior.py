@@ -173,3 +173,38 @@ def test_trainer_flow_prior_requires_estimator(tmp_path):
                       output_image_path=str(tmp_path / "i"))
     with pytest.raises(ValueError, match="flow_prior"):
         Trainer(cfg)
+
+
+def test_flow_photo_pyramid_terms_and_grads(rng):
+    """flow_photo_pyramid adds 1/2- and 1/4-scale photometric terms and the
+    coarse flow levels receive gradient through them."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vfi_tpu.losses import LossWeights
+    from vfi_tpu.models import EMAVFI
+    from vfi_tpu.models.flownet import SimpleFlowNet
+    from vfi_tpu.train.loop import make_train_step
+    from vfi_tpu.train.state import create_train_state
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    flow = SimpleFlowNet(mid_channels=8, levels=2)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    mp = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    fp = jax.jit(flow.init)(jax.random.PRNGKey(1), x, x)
+    weights = LossWeights(vgg=0.0, temporal=0.2)
+    step = jax.jit(make_train_step(model, None, 0, weights, flow_module=flow,
+                                   flow_prior=True, flow_photo_pyramid=True))
+    state = create_train_state({"model": mp, "flow": fp}, 1e-3)
+    f0 = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    ft = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    f1 = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    state2, m = step(state, None, f0, ft, f1)
+    assert "flow_photo_s2" in m and "flow_photo_s4" in m
+    assert np.isfinite(float(m["flow_photo_s2"]))
+    # coarse level (level0) params moved
+    a = jax.tree.leaves(state.params["flow"]["params"]["level0"])
+    b = jax.tree.leaves(state2.params["flow"]["params"]["level0"])
+    assert any(not np.allclose(np.asarray(x_), np.asarray(y_))
+               for x_, y_ in zip(a, b))

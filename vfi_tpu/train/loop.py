@@ -60,7 +60,8 @@ def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
                     target_unit_range: bool = False,
                     flow_prior: bool = False,
                     flow_prior_scale: float = 0.5,
-                    accum_steps: int = 1):
+                    accum_steps: int = 1,
+                    flow_photo_pyramid: bool = False):
     """Build the jit-able train step: (state, vgg_params, f0, ft, f1) ->
     (state, metrics). vgg_params passed explicitly so its sharding is
     controlled by the caller (not baked in as jit constants). `remat`
@@ -124,6 +125,22 @@ def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
             photo = jnp.mean(jnp.abs(warp_op(f1, flow01, mode="bilinear") - f0))
             terms["flow_photo"] = photo
             tot = tot + weights.temporal * photo
+            if flow_photo_pyramid:
+                # Multi-scale photometric supervision (config
+                # flow_photo_pyramid): the same term at 1/2 and 1/4 scale
+                # with the flow magnitude rescaled — direct gradient for
+                # the pyramid's coarse levels on large displacements.
+                from vfi_tpu.ops.resize import resize_bilinear as _rb
+
+                hh, ww = f0.shape[1], f0.shape[2]
+                for s_ in (2, 4):
+                    sh, sw = hh // s_, ww // s_
+                    fl_s = _rb(flow01, (sh, sw)) / s_
+                    p_s = jnp.mean(jnp.abs(
+                        warp_op(_rb(f1, (sh, sw)), fl_s, mode="bilinear")
+                        - _rb(f0, (sh, sw))))
+                    terms[f"flow_photo_s{s_}"] = p_s
+                    tot = tot + weights.temporal * p_s / s_
         return tot, terms
 
     def train_step(state: TrainState, vgg_params, f0, ft, f1):
@@ -369,7 +386,8 @@ class Trainer:
                                     target_unit_range=cfg.target_unit_range,
                                     flow_prior=cfg.flow_prior,
                                     flow_prior_scale=cfg.flow_prior_scale,
-                                    accum_steps=cfg.accum_steps)
+                                    accum_steps=cfg.accum_steps,
+                                    flow_photo_pyramid=cfg.flow_photo_pyramid)
         self.train_step = jax.jit(
             raw_train,
             in_shardings=(rep, rep, bsh, bsh, bsh),

@@ -101,6 +101,14 @@ class TrainConfig:
     target_unit_range: bool = False
     flow_mid_channels: int = 32
     flow_levels: int = 3
+    # Multi-scale photometric supervision for the flow estimator: in
+    # addition to the full-res photometric term, supervise warp(f1, flow)
+    # at 1/2 and 1/4 scale (flow magnitude rescaled per scale). Gives the
+    # pyramid's coarse levels direct gradient on large displacements —
+    # the round-2 estimator plateaued at 3.49 px mean EPE vs the bundled
+    # GT (VERDICT r2 #5). Off by default (exactly reproduces the round-2
+    # training objective).
+    flow_photo_pyramid: bool = False
     # Large-motion lever (models/prior.py): pre-warp frame1 halfway along
     # the jointly-trained SimpleFlowNet flow before the main model, so the
     # stride-1 trunk only resolves the small residual. Requires
