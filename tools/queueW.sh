@@ -59,6 +59,7 @@ RECIPE="--batch_size 16 --accum_steps 8 --remat true \
   --crop_size [320,320] --target_unit_range true \
   --best_metric val_psnr --dcn_max_offset 2 --warp_max_flow 16 \
   --use_pallas true --ema_decay 0.998 --flow_prior true \
+  --flow_photo_pyramid true \
   --cascade_levels 2 --fuse_project true \
   --lr_schedule cosine --learning_rate 1e-4 --cosine_min_lr 5e-6"
 
@@ -124,6 +125,20 @@ if [ -f runs/queueW/eval.done ] && [ ! -f runs/queueW/secured ]; then
     cp runs/queueW/q13_eval.json artifacts/q13_eval_rejected.json
     commit_retry "q13 fuse_project fine-tune below the q12-0.1dB bar (eval on record)" \
       artifacts/q13_eval_rejected.json
+  fi
+fi
+
+# --- step 4: flow-EPE of the q13 estimator (VERDICT r2 #5 denominator) --------
+if [ -f runs/queueW/eval.done ] && [ ! -f runs/queueW/epe.done ]; then
+  timeout 1800 python eval.py --data-dir data/processed/train \
+    --flow_model runs/q13/best.flow.npz \
+    --gt_flow_dir data/processed/other-gt-flow --json \
+    > runs/queueW/q13_flow_epe.json && touch runs/queueW/epe.done
+  if [ -s runs/queueW/q13_flow_epe.json ]; then
+    cp runs/queueW/q13_flow_epe.json artifacts/q13_flow_epe.json
+    echo "q13 flow EPE:"; cat artifacts/q13_flow_epe.json
+    commit_retry "q13 flow-estimator EPE vs bundled GT (flow_photo_pyramid training)" \
+      artifacts/q13_flow_epe.json
   fi
 fi
 
