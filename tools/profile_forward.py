@@ -26,13 +26,25 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 
 def capture(b: int, h: int, w: int, iters: int, logdir: str,
-            use_pallas: bool = True) -> None:
+            use_pallas: bool = True, ckpt: str | None = None,
+            tile_w: int | None = None) -> None:
     from vfi_tpu.models import EMAVFI
 
+    kw = {}
+    if ckpt:
+        # trained checkpoint: offset-data-dependent DCN cost (the honest
+        # regime, docs/PERFORMANCE.md "Bench honesty"); topology
+        # auto-detected (fuse_project checkpoints profile unchanged)
+        from vfi_tpu.utils.convert import infer_model_dims, load_params_npz
+
+        params = load_params_npz(ckpt)
+        kw["fuse_project"] = infer_model_dims(params).get("fuse_project",
+                                                          False)
     model = EMAVFI(dtype=jnp.bfloat16, dcn_max_offset=2, warp_max_flow=16,
-                   use_pallas=use_pallas)
-    small = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), small, small)
+                   use_pallas=use_pallas, dcn_tile_w=tile_w, **kw)
+    if not ckpt:
+        small = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), small, small)
 
     @jax.jit
     def chain(p, a, b_):
@@ -104,6 +116,10 @@ def main() -> int:
     p.add_argument("--h", type=int, default=720)
     p.add_argument("--w", type=int, default=1280)
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--ckpt", default=None,
+                   help="trained checkpoint npz (trained-offset regime; "
+                        "fuse_project topology auto-detected)")
+    p.add_argument("--tile_w", type=int, default=None)
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--keep", default=None,
                    help="keep the trace under this dir (default: tempdir)")
@@ -113,7 +129,8 @@ def main() -> int:
     if not glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                      recursive=True):  # reuse an existing kept trace
         capture(args.b, args.h, args.w, args.iters, logdir,
-                use_pallas=not args.no_pallas)
+                use_pallas=not args.no_pallas, ckpt=args.ckpt,
+                tile_w=args.tile_w)
     per_op, per_cat, total = aggregate(logdir)
 
     n_frames = args.b * args.iters
