@@ -73,6 +73,9 @@ def main(argv=None) -> int:
                        help="bounded warp flow radius (px)")
         p.add_argument("--use_pallas", action="store_true",
                        help="fused Pallas kernels for bounded sampling")
+        p.add_argument("--dcn_kernel", default="v4", choices=("v4", "v5"),
+                       help="Pallas DCN kernel generation (v5: transposed "
+                            "lane-dense layout)")
         p.add_argument("--dcn_tile_w", type=int, default=None,
                        help="explicit Pallas DCN column-tile width (e.g. 256): per-tile skip predicates are tighter on trained offsets; bit-identical, auto-ignored for widths it does not divide")
         p.add_argument("--max_px_per_launch", type=int, default=8_000_000,
@@ -164,6 +167,8 @@ def main(argv=None) -> int:
                                    warp_max_flow=args.warp_max_flow,
                                    use_pallas=args.use_pallas,
                                    dcn_tile_w=args.dcn_tile_w,
+                               dcn_kernel=args.dcn_kernel,
+                                   dcn_kernel=args.dcn_kernel,
                                    cascade_levels=args.cascade_levels,
                                    max_px_per_launch=args.max_px_per_launch or None,
                                    mesh=mesh, spatial=args.spatial > 1,
@@ -181,6 +186,8 @@ def main(argv=None) -> int:
                                    warp_max_flow=args.warp_max_flow,
                                    use_pallas=args.use_pallas,
                                    dcn_tile_w=args.dcn_tile_w,
+                               dcn_kernel=args.dcn_kernel,
+                                   dcn_kernel=args.dcn_kernel,
                                    cascade_levels=args.cascade_levels,
                                    max_px_per_launch=args.max_px_per_launch or None,
                                    mesh=mesh, spatial=args.spatial > 1,
@@ -204,6 +211,7 @@ def main(argv=None) -> int:
                                warp_max_flow=args.warp_max_flow,
                                use_pallas=args.use_pallas,
                                dcn_tile_w=args.dcn_tile_w,
+                               dcn_kernel=args.dcn_kernel,
                                cascade_levels=args.cascade_levels,
                                max_px_per_launch=args.max_px_per_launch or None,
                                mesh=mesh, spatial=args.spatial > 1,

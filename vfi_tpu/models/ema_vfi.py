@@ -91,6 +91,11 @@ class EMAVFI(nn.Module):
     # Changes the parameter tree: NOT checkpoint-compatible with the
     # reference topology; off by default.
     fuse_project: bool = False
+    # Pallas DCN kernel generation with use_pallas: "v4" (lane-major
+    # production kernel) or "v5" (transposed layout, lane-dense at any
+    # channel count — pairs naturally with fuse_project). Per-layer
+    # fallback to v4/shifts when infeasible.
+    dcn_kernel: str = "v4"
     # Explicit column-tile width for the Pallas DCN kernels (None = auto).
     # Real trained offsets are spatially heterogeneous, so per-tile skip
     # predicates drop ~15% of (tap, shift) pair work that full-width
@@ -323,6 +328,7 @@ class EMAVFI(nn.Module):
                                              max_offset=self.dcn_max_offset,
                                              use_pallas=self.use_pallas,
                                              tile_w=self.dcn_tile_w,
+                                             pallas_kernel=self.dcn_kernel,
                                              name=f"fusion_dcn{i}")(fused))
 
         # 6. Reconstruction head -> [0, 1] frame.

@@ -164,6 +164,11 @@ class ModulatedDeformConv(nn.Module):
     # (auto plan) when it does not divide this input's width or its slab
     # is VMEM-infeasible.
     tile_w: Optional[int] = None
+    # Which Pallas DCN forward to use with use_pallas: "v4" (lane-major,
+    # the round-2 production kernel) or "v5" (transposed layout — C in
+    # sublanes, lane-dense blends at any channel count; tile_w is ignored).
+    # Falls back to v4 (then shifts) when v5 is infeasible for the shape.
+    pallas_kernel: str = "v4"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -214,6 +219,21 @@ class ModulatedDeformConv(nn.Module):
                         bias.astype(dtype) if bias is not None else None,
                         max_offset=self.max_offset, padding=self.padding)
                 isz = jnp.dtype(dtype).itemsize
+                if self.pallas_kernel == "v5":
+                    from vfi_tpu.ops.pallas.sampling import (
+                        pallas_sampling_v5_feasible)
+                    from vfi_tpu.ops.pallas.wrappers import (
+                        deform_conv2d_fast_v5)
+
+                    if pallas_sampling_v5_feasible(
+                            x.shape[1], x.shape[2], x.shape[3],
+                            self.features, self.max_offset, isz):
+                        return deform_conv2d_fast_v5(
+                            x.astype(dtype), offset.astype(dtype),
+                            mask.astype(dtype), weight.astype(dtype),
+                            bias.astype(dtype) if bias is not None else None,
+                            self.max_offset)
+                    # infeasible for this shape: degrade to the v4 plan
                 # Requested explicit tile that can't apply to this width
                 # (or slab) degrades to the auto plan, not to a failure:
                 # the same model instance runs many input sizes.

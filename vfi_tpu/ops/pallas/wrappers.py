@@ -84,3 +84,38 @@ def _warp_bwd(max_flow, res, g):
 
 
 warp_fast.defvjp(_warp_fwd, _warp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def deform_conv2d_fast_v5(x, offset, mask, weight, bias, max_offset: int = 3):
+    """DCNv2 with bounded offsets: v5 transposed-layout Pallas forward
+    (C in sublanes — lane-dense at any channel count), differentiable
+    backward through the XLA shifts formulation (same function)."""
+    from vfi_tpu.ops.pallas.sampling import deform_conv2d_pallas_v5
+
+    return deform_conv2d_pallas_v5(x, offset, mask, weight, bias,
+                                   max_offset=max_offset)
+
+
+def _dcn5_fwd(x, offset, mask, weight, bias, max_offset):
+    from vfi_tpu.ops.pallas.sampling import deform_conv2d_pallas_v5
+
+    out = deform_conv2d_pallas_v5(x, offset, mask, weight, bias,
+                                  max_offset=max_offset)
+    return out, (x, offset, mask, weight, bias)
+
+
+def _dcn5_bwd(max_offset, res, g):
+    x, offset, mask, weight, bias = res
+
+    def f(x_, o_, m_, w_, b_):
+        return deform_conv2d_shifts(x_, o_, m_, w_, b_, max_offset=max_offset)
+
+    _, vjp = jax.vjp(f, x, offset, mask, weight,
+                     bias if bias is not None else jnp.zeros(weight.shape[-1], x.dtype))
+    dx, doff, dmask, dw, db = vjp(g)
+    return (dx, doff, dmask if mask is not None else None, dw,
+            db if bias is not None else None)
+
+
+deform_conv2d_fast_v5.defvjp(_dcn5_fwd, _dcn5_bwd)

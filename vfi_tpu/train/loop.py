@@ -256,6 +256,7 @@ class Trainer:
                             warp_max_flow=cfg.warp_max_flow,
                             use_pallas=cfg.use_pallas,
                             dcn_tile_w=cfg.dcn_tile_w,
+                            dcn_kernel=cfg.dcn_kernel,
                             cascade_levels=cfg.cascade_levels,
                             fuse_project=cfg.fuse_project)
         self.vgg_layer_index = LAYER_INDEX[cfg.vgg_layer]

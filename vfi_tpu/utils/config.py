@@ -166,6 +166,9 @@ class TrainConfig:
     # per-tile skip predicates on trained offsets; bit-identical output;
     # silently ignored for widths it does not divide (e.g. crop training).
     dcn_tile_w: Optional[int] = None
+    # Pallas DCN kernel generation: "v4" or "v5" (transposed lane-dense
+    # layout; pairs with fuse_project). See models/layers.py.
+    dcn_kernel: str = "v4"
     # Self-cascade depth (EMAVFI.cascade_levels): > 1 runs the model's own
     # motion stages coarse-to-fine on downsampled copies (shared weights —
     # checkpoint-compatible) and pre-warps frame2 by each level's upsampled
