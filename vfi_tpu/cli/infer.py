@@ -167,7 +167,6 @@ def main(argv=None) -> int:
                                    warp_max_flow=args.warp_max_flow,
                                    use_pallas=args.use_pallas,
                                    dcn_tile_w=args.dcn_tile_w,
-                               dcn_kernel=args.dcn_kernel,
                                    dcn_kernel=args.dcn_kernel,
                                    cascade_levels=args.cascade_levels,
                                    max_px_per_launch=args.max_px_per_launch or None,
@@ -186,7 +185,6 @@ def main(argv=None) -> int:
                                    warp_max_flow=args.warp_max_flow,
                                    use_pallas=args.use_pallas,
                                    dcn_tile_w=args.dcn_tile_w,
-                               dcn_kernel=args.dcn_kernel,
                                    dcn_kernel=args.dcn_kernel,
                                    cascade_levels=args.cascade_levels,
                                    max_px_per_launch=args.max_px_per_launch or None,
