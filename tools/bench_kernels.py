@@ -175,6 +175,18 @@ def main():
 
         kernels["pallas-v5"] = functools.partial(
             deform_conv2d_pallas_v5, max_offset=r)
+    if "v5v" in args.kernels:  # v5 layout variants
+        from vfi_tpu.ops.pallas.sampling import deform_conv2d_pallas_v5
+
+        for v in ("base", "dot_nhwc", "bcast"):
+            kernels[f"v5-{v}"] = functools.partial(
+                deform_conv2d_pallas_v5, max_offset=r, variant=v)
+    if "v5dbg" in args.kernels:  # v5 cost-split ablations (wrong results)
+        from vfi_tpu.ops.pallas.sampling import deform_conv2d_pallas_v5
+
+        for dbg in ("dma", "noblend", "nodot", "full"):
+            kernels[f"v5-{dbg}"] = functools.partial(
+                deform_conv2d_pallas_v5, max_offset=r, _dbg=dbg)
     if "v4b" in args.kernels:  # double-buffered sample scratch
         kernels["pallas-v4b2"] = functools.partial(
             deform_conv2d_pallas_v4, max_offset=r, samp_bufs=2)

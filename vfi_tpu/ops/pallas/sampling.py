@@ -1000,7 +1000,8 @@ def pallas_sampling_v5_feasible(h: int, w: int, c: int, cout: int, R: int,
 def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
                         x_tile, samp_ref, sem, *, kh: int, kw: int, R: int,
                         TH: int, W: int, C: int, cout: int, padding: int,
-                        ux_list: tuple, _dbg: str = "full"):
+                        ux_list: tuple, variant: str = "base",
+                        _dbg: str = "full"):
     """Transposed-layout DCN forward (see the v5 block comment).
 
     pm_ref: (1, 3*taps, TH, W) f32 pre-clipped planes (dy*9, dx*9, mask*9).
@@ -1015,7 +1016,9 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
     r = pl.program_id(1)
     n_taps = kh * kw
 
-    out_ref[0] = jnp.zeros((cout, TH, W), out_ref.dtype)
+    out_shape = ((TH, W, cout) if variant == "dot_nhwc"
+                 else (cout, TH, W))
+    out_ref[0] = jnp.zeros(out_shape, out_ref.dtype)
     if _dbg == "empty":   # block pipeline + init only
         return
 
@@ -1051,15 +1054,37 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
                                            bd_ref[0, 0, 2, t] < sx + 1)
                     base = M - padding - R + i
 
-                    @pl.when(pred)
-                    def _():
-                        if _dbg == "noblend":
-                            samp_ref[...] = x_tile[pl.ds(M, TH)]
+                    def do_dot(t=t):
+                        if _dbg == "nodot":
+                            return
+                        if variant == "dot_nhwc":
+                            # contraction over sublane C of lhs; result in
+                            # the v4-style NHWC block orientation
+                            out_ref[0] += jax.lax.dot_general(
+                                samp_ref[...], w_ref[t],
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            ).astype(out_ref.dtype)
+                        else:
                             out_ref[0] += jax.lax.dot_general(
                                 w_ref[t], samp_ref[...],
                                 dimension_numbers=(((0,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                             ).astype(out_ref.dtype)
+
+                    def mkwgt(plane2d):
+                        # (TH, W) f32 -> (TH, 1-or-C, W) multiplier
+                        if variant == "bcast":
+                            return jax.lax.broadcast_in_dim(
+                                plane2d.astype(samp_ref.dtype),
+                                (TH, C, W), (0, 2))
+                        return plane2d[:, None, :].astype(samp_ref.dtype)
+
+                    @pl.when(pred)
+                    def _():
+                        if _dbg == "noblend":
+                            samp_ref[...] = x_tile[pl.ds(M, TH)]
+                            do_dot()
                             return
                         dy = pm_ref[0, t]                       # (TH, W) f32
                         axm = jnp.maximum(
@@ -1069,8 +1094,7 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
                         for v in range(R - 1, R + 2):  # core |shift| <= 1
                             ay = jnp.maximum(
                                 1.0 - jnp.abs(dy - (v - R)), 0.0)
-                            wgt = (ay * axm)[:, None, :].astype(
-                                samp_ref.dtype)                 # (TH, 1, W)
+                            wgt = mkwgt(ay * axm)
                             rows = x_tile[pl.ds(base + v, TH)]  # (TH, Cs, W)
                             term = wgt * rows
                             expr = term if expr is None else expr + term
@@ -1086,19 +1110,10 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
                             def _(v=v):
                                 ay = jnp.maximum(
                                     1.0 - jnp.abs(dy - (v - R)), 0.0)
-                                wgt = (ay * axm)[:, None, :].astype(
-                                    samp_ref.dtype)
-                                samp_ref[...] += wgt * x_tile[
+                                samp_ref[...] += mkwgt(ay * axm) * x_tile[
                                     pl.ds(base + v, TH)]
 
-                        if _dbg == "nodot":
-                            return
-                        # (cout, TH, W) += w_tap^T . samp over sublane C
-                        out_ref[0] += jax.lax.dot_general(
-                            w_ref[t], samp_ref[...],
-                            dimension_numbers=(((0,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ).astype(out_ref.dtype)
+                        do_dot()
 
                     return 0
 
@@ -1106,7 +1121,7 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("max_offset", "padding",
-                                             "_dbg"))
+                                             "variant", "_dbg"))
 def deform_conv2d_pallas_v5(
     x: jnp.ndarray,
     offset: jnp.ndarray,
@@ -1115,6 +1130,7 @@ def deform_conv2d_pallas_v5(
     bias: Optional[jnp.ndarray] = None,
     max_offset: int = 3,
     padding: int = 1,
+    variant: str = "base",
     _dbg: str = "full",
 ) -> jnp.ndarray:
     """Fused bounded-offset DCNv2, transposed compute layout (v5).
@@ -1169,7 +1185,16 @@ def deform_conv2d_pallas_v5(
 
     kern = functools.partial(
         _sampling_kernel_v5, kh=kh, kw=kw, R=R, TH=TH, W=wl, C=cs,
-        cout=cout, padding=padding, ux_list=ux_list, _dbg=_dbg)
+        cout=cout, padding=padding, ux_list=ux_list, variant=variant,
+        _dbg=_dbg)
+    if variant == "dot_nhwc":
+        out_spec = pl.BlockSpec((1, TH, wl, cout),
+                                lambda bi, ri: (bi, ri, 0, 0))
+        out_sds = jax.ShapeDtypeStruct((b, h, wl, cout), dtype)
+    else:
+        out_spec = pl.BlockSpec((1, cout, TH, wl),
+                                lambda bi, ri: (bi, 0, ri, 0))
+        out_sds = jax.ShapeDtypeStruct((b, cout, h, wl), dtype)
 
     out = pl.pallas_call(
         kern,
@@ -1183,9 +1208,8 @@ def deform_conv2d_pallas_v5(
             pl.BlockSpec(memory_space=pltpu.VMEM),         # weights
             pl.BlockSpec(memory_space=pl.ANY),             # xs in HBM
         ],
-        out_specs=pl.BlockSpec((1, cout, TH, wl),
-                               lambda bi, ri: (bi, 0, ri, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, cout, h, wl), dtype),
+        out_specs=out_spec,
+        out_shape=out_sds,
         scratch_shapes=[
             pltpu.VMEM((TH + 2 * M, cs, wl), dtype),
             pltpu.VMEM((TH, cs, wl), dtype),
@@ -1195,7 +1219,10 @@ def deform_conv2d_pallas_v5(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(planes, bounds, w_taps.astype(dtype), xs)
 
-    out = out[..., :w].transpose(0, 2, 3, 1)               # NHWC
+    if variant == "dot_nhwc":
+        out = out[:, :, :w, :]                             # already NHWC
+    else:
+        out = out[..., :w].transpose(0, 2, 3, 1)           # NHWC
     if bias is not None:
         out = out + bias.reshape(1, 1, 1, cout).astype(dtype)
     return out
