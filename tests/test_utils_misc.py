@@ -49,7 +49,8 @@ def test_infer_model_dims(rng):
     x = jnp.zeros((1, 8, 8, 3), jnp.float32)
     params = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, x)
     dims = infer_model_dims(params)
-    assert dims == {"in_channels": 3, "mid_channels": 16, "num_blocks": 2}
+    assert dims == {"in_channels": 3, "mid_channels": 16,
+                    "num_blocks": 2, "fuse_project": False}
 
 
 def test_flo_io_roundtrip(tmp_path, rng):
