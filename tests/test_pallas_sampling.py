@@ -294,3 +294,22 @@ def test_dcn_pallas_v5_model_channels(rng):
                                       None, max_offset=R)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_v4_auto_plan_tiles_wide_images():
+    """The auto (TH, TW) planner must not pick an untiled width beyond the
+    hardware-validated 1280: the untiled (8, 1920) plan kernel-faulted the
+    TPU worker in the 1080p demo (round 3) and its compile family was
+    flagged pathological by the round-1 bisect. Wide widths tile."""
+    from vfi_tpu.ops.pallas.sampling import _pad128, _pick_th_tw_v4
+
+    th, tw = _pick_th_tw_v4(1080, 1920, _pad128(67), _pad128(67), 3, 3,
+                            itemsize=2)
+    assert tw <= 384
+    th, tw = _pick_th_tw_v4(2160, 3840, _pad128(67), _pad128(67), 3, 3,
+                            itemsize=2)
+    assert tw <= 384
+    # 720p stays untiled (validated, fastest)
+    th, tw = _pick_th_tw_v4(720, 1280, _pad128(67), _pad128(67), 3, 3,
+                            itemsize=2)
+    assert tw == 1280

@@ -341,8 +341,20 @@ def _pick_th_tw_v4(h: int, w: int, cpad: int, coutp: int, m: int, kh: int,
     tw128 already matches the untiled kernel's per-pixel throughput on
     hardware (4K trained regime 312 ms/layer ~= 9x the untiled 720p 33 ms;
     2.9x zero-regime / 1.55x trained over XLA shifts), so wider tiles buy
-    nothing measurable. Smallest-first: fastest compile, measured runtime."""
-    cands = [w] + [t for t in (128, 256, 384) if t < w and w % t == 0]
+    nothing measurable. Smallest-first: fastest compile, measured runtime.
+
+    Untiled full width is preferred only up to W=1280 (the widest
+    hardware-VALIDATED untiled shape, 720p): the round-3 1080p demo
+    kernel-faulted the TPU worker mid-run with the auto plan's untiled
+    (TH=8, TW=1920) — the same width family whose compile the round-1
+    bisect flagged as pathological — while the tiled 4K path ran clean;
+    round 2's "1080p demo killed a TPU worker" (docs/ROUND2_STATUS.md
+    session 12) was this, misattributed to HBM pressure. Wider images
+    tile (at no measured per-pixel cost, see above)."""
+    cands = ([w] if w <= 1280 else []) \
+        + [t for t in (128, 256, 384) if t < w and w % t == 0]
+    if not cands:
+        cands = [w]  # non-tileable width wider than 1280: untiled or bust
     for tw in cands:
         try:
             th = _pick_th_v4(h, tw, cpad, coutp, m, kh, itemsize=itemsize,
