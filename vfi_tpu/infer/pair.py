@@ -142,6 +142,19 @@ class FrameInterpolator:
         # routing observability: per-call probe values + scaled-path count
         self.auto_scale_stats = {"probes": [], "scaled": 0}
         self.io_dtype = np.uint8 if io_uint8 else np.float32
+        # Graph-aware HBM guard: the flow-prior graph (pyramid estimator +
+        # prewarp + model in one jit) holds far more live full-res tensors
+        # than the plain forward — hardware-bisected at 1080p: plain b4
+        # (8.3M px) runs, flow-prior b3 (6.2M px) CRASHES the TPU worker
+        # while b2 (4.1M px) runs (round 3, docs/PERFORMANCE.md "1080p
+        # worker-crash bisection"). When the caller left the default
+        # budget, shrink it for flow-prior (and again for TTA's 4
+        # in-graph branches); an explicitly different budget is respected.
+        if max_px_per_launch == 8_000_000:
+            if flow_params is not None:
+                max_px_per_launch = 4_000_000
+            if tta:
+                max_px_per_launch //= 2
         self.max_px_per_launch = max_px_per_launch
         dims = infer_model_dims(params)
         self.model = EMAVFI(
