@@ -124,6 +124,11 @@ def main() -> int:
     # shifts path at every offset regime (docs/PERFORMANCE.md); XLA shifts
     # and exact-gather remain as degradation rungs if Mosaic fails.
     configs = [
+        # v5 (transposed layout, dot_nhwc orientation): C in sublanes ->
+        # lane-dense blends; measured 25.9 ms/layer trained vs v4-tw256's
+        # ~30 and untiled v4's 32.7 at 720p (docs/PERFORMANCE.md round 3)
+        ("pallas-v5", dict(dcn_max_offset=2, warp_max_flow=16,
+                           use_pallas=True, dcn_kernel="v5")),
         # tw256: per-tile skip predicates beat full-width ones on trained
         # offsets (~8-18%/layer at 720p, bit-identical output —
         # docs/PERFORMANCE.md "Column-tiled predicates on trained offsets")

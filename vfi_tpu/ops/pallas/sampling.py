@@ -1012,7 +1012,7 @@ def pallas_sampling_v5_feasible(h: int, w: int, c: int, cout: int, R: int,
 def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
                         x_tile, samp_ref, sem, *, kh: int, kw: int, R: int,
                         TH: int, W: int, C: int, cout: int, padding: int,
-                        ux_list: tuple, variant: str = "base",
+                        ux_list: tuple, variant: str = "dot_nhwc",
                         _dbg: str = "full"):
     """Transposed-layout DCN forward (see the v5 block comment).
 
@@ -1142,7 +1142,7 @@ def deform_conv2d_pallas_v5(
     bias: Optional[jnp.ndarray] = None,
     max_offset: int = 3,
     padding: int = 1,
-    variant: str = "base",
+    variant: str = "dot_nhwc",
     _dbg: str = "full",
 ) -> jnp.ndarray:
     """Fused bounded-offset DCNv2, transposed compute layout (v5).
