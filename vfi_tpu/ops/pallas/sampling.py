@@ -976,7 +976,8 @@ def bounded_warp_pallas(image: jnp.ndarray, flow: jnp.ndarray,
 
 
 def _pick_th_v5(h: int, wl: int, cs: int, cout: int, m: int, n_taps: int,
-                itemsize: int = 2, budget: int = 24 * 1024 * 1024) -> int:
+                itemsize: int = 2, budget: int = 24 * 1024 * 1024,
+                slabs: int = 2) -> int:
     """Row-slab height for the v5 buffer set: one (TH + 2m, Cs, Wl) slab,
     one (TH, Cs, Wl) sample buffer, double-buffered f32 plane blocks and
     out blocks. TH must divide h and be a multiple of 8 (TH is the
@@ -986,7 +987,7 @@ def _pick_th_v5(h: int, wl: int, cs: int, cout: int, m: int, n_taps: int,
         for th in cands:
             if h % th != 0:
                 continue
-            slab = (th + 2 * m) * cs * wl * itemsize
+            slab = slabs * (th + 2 * m) * cs * wl * itemsize
             samp = th * cs * wl * itemsize
             planes = 2 * 3 * n_taps * _round8(th) * wl * 4
             blocks = 2 * cout * th * wl * itemsize
@@ -1010,9 +1011,10 @@ def pallas_sampling_v5_feasible(h: int, w: int, c: int, cout: int, R: int,
 
 
 def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
-                        x_tile, samp_ref, sem, *, kh: int, kw: int, R: int,
-                        TH: int, W: int, C: int, cout: int, padding: int,
-                        ux_list: tuple, variant: str = "dot_nhwc",
+                        x_tile, samp_ref, sem, sem2, *, kh: int, kw: int,
+                        R: int, TH: int, W: int, C: int, cout: int,
+                        padding: int, ux_list: tuple,
+                        variant: str = "dot_nhwc", prefetch: bool = True,
                         _dbg: str = "full"):
     """Transposed-layout DCN forward (see the v5 block comment).
 
@@ -1034,6 +1036,23 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
     if _dbg == "empty":   # block pipeline + init only
         return
 
+    sems = (sem, sem2)
+
+    def _copy(ui2):
+        dst = x_tile.at[ui2 % 2] if prefetch else x_tile
+        return pltpu.make_async_copy(
+            x_hbm.at[b, ui2, pl.ds(r * TH, TH + 2 * M)], dst,
+            sems[ui2 % 2] if prefetch else sem)
+
+    if prefetch:
+        # Double-buffered slab DMA: ui+1's copy runs while ui blends.
+        # Copies are unconditional (the compute skip predicates remain) —
+        # hiding the ~6 ms/layer of serialized DMA waits measured in the
+        # single-buffer split (artifacts/v5_split.log) costs at most the
+        # few extra copies the skip would have avoided, off the critical
+        # path.
+        _copy(0).start()
+
     for ui, ux in enumerate(ux_list):
         rel_j = [j for j in range(kw) if abs(ux - (j - padding)) <= R]
 
@@ -1048,12 +1067,20 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
                     bd_ref[0, 0, 2, t] < sx + 1))
         any_pred = functools.reduce(jnp.logical_or, preds)
 
+        if prefetch:
+            if ui + 1 < len(ux_list):
+                _copy(ui + 1).start()
+            _copy(ui).wait()
+
         @pl.when(any_pred)
         def _(ui=ui, ux=ux, rel_j=rel_j):
-            cp = pltpu.make_async_copy(
-                x_hbm.at[b, ui, pl.ds(r * TH, TH + 2 * M)], x_tile, sem)
-            cp.start()
-            cp.wait()
+            if prefetch:
+                tile = x_tile.at[ui % 2]
+            else:
+                tile = x_tile
+                cp = _copy(ui)
+                cp.start()
+                cp.wait()
             if _dbg == "dma":   # DMA loop only, no compute
                 return
 
@@ -1095,7 +1122,7 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
                     @pl.when(pred)
                     def _():
                         if _dbg == "noblend":
-                            samp_ref[...] = x_tile[pl.ds(M, TH)]
+                            samp_ref[...] = tile[pl.ds(M, TH)]
                             do_dot()
                             return
                         dy = pm_ref[0, t]                       # (TH, W) f32
@@ -1107,7 +1134,7 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
                             ay = jnp.maximum(
                                 1.0 - jnp.abs(dy - (v - R)), 0.0)
                             wgt = mkwgt(ay * axm)
-                            rows = x_tile[pl.ds(base + v, TH)]  # (TH, Cs, W)
+                            rows = tile[pl.ds(base + v, TH)]  # (TH, Cs, W)
                             term = wgt * rows
                             expr = term if expr is None else expr + term
                         samp_ref[...] = expr
@@ -1122,7 +1149,7 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
                             def _(v=v):
                                 ay = jnp.maximum(
                                     1.0 - jnp.abs(dy - (v - R)), 0.0)
-                                samp_ref[...] += mkwgt(ay * axm) * x_tile[
+                                samp_ref[...] += mkwgt(ay * axm) * tile[
                                     pl.ds(base + v, TH)]
 
                         do_dot()
@@ -1133,7 +1160,8 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("max_offset", "padding",
-                                             "variant", "_dbg"))
+                                             "variant", "prefetch",
+                                             "_dbg"))
 def deform_conv2d_pallas_v5(
     x: jnp.ndarray,
     offset: jnp.ndarray,
@@ -1143,6 +1171,7 @@ def deform_conv2d_pallas_v5(
     max_offset: int = 3,
     padding: int = 1,
     variant: str = "dot_nhwc",
+    prefetch: bool = True,
     _dbg: str = "full",
 ) -> jnp.ndarray:
     """Fused bounded-offset DCNv2, transposed compute layout (v5).
@@ -1162,7 +1191,8 @@ def deform_conv2d_pallas_v5(
     cs = _round8(cin)
     wl = -(-w // 128) * 128
     isz = jnp.dtype(dtype).itemsize
-    TH = _pick_th_v5(h, wl, cs, cout, M, kh * kw, itemsize=isz)
+    TH = _pick_th_v5(h, wl, cs, cout, M, kh * kw, itemsize=isz,
+                     slabs=2 if prefetch else 1)
 
     ux_list = tuple(range(-(padding + R), (kw - 1 - padding) + R + 1))
     # (B, Hp, Cs, W + pad): transpose once, then one shifted zero-padded
@@ -1198,7 +1228,7 @@ def deform_conv2d_pallas_v5(
     kern = functools.partial(
         _sampling_kernel_v5, kh=kh, kw=kw, R=R, TH=TH, W=wl, C=cs,
         cout=cout, padding=padding, ux_list=ux_list, variant=variant,
-        _dbg=_dbg)
+        prefetch=prefetch, _dbg=_dbg)
     if variant == "dot_nhwc":
         out_spec = pl.BlockSpec((1, TH, wl, cout),
                                 lambda bi, ri: (bi, ri, 0, 0))
@@ -1223,8 +1253,10 @@ def deform_conv2d_pallas_v5(
         out_specs=out_spec,
         out_shape=out_sds,
         scratch_shapes=[
-            pltpu.VMEM((TH + 2 * M, cs, wl), dtype),
+            pltpu.VMEM(((2, TH + 2 * M, cs, wl) if prefetch
+                        else (TH + 2 * M, cs, wl)), dtype),
             pltpu.VMEM((TH, cs, wl), dtype),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
