@@ -379,3 +379,30 @@ def test_max_px_per_launch_chunks_match_unchunked(rng):
     b = np.asarray(chunked.midpoints(f0, f1))
     assert a.shape == b.shape == (5, 16, 16, 3)
     np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
+
+
+def test_graph_aware_default_px_budget(rng):
+    """The default launch budget adapts to the graph: flow-prior graphs
+    hold more live HBM (hardware-bisected 1080p worker crash), TTA halves
+    again; explicit budgets are respected."""
+    from vfi_tpu.models import EMAVFI
+    from vfi_tpu.models.flownet import SimpleFlowNet
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    flow = SimpleFlowNet(mid_channels=8, levels=2)
+    fparams = jax.jit(flow.init)(jax.random.PRNGKey(1), x, x)
+    kw = dict(mid_channels=8, num_blocks=1, bf16=False)
+
+    assert FrameInterpolator(params, **kw).max_px_per_launch == 8_000_000
+    assert FrameInterpolator(params, flow_params=fparams,
+                             flow_mid_channels=8, flow_levels=2,
+                             **kw).max_px_per_launch == 4_000_000
+    assert FrameInterpolator(params, tta=True,
+                             **kw).max_px_per_launch == 4_000_000
+    assert FrameInterpolator(params, flow_params=fparams,
+                             flow_mid_channels=8, flow_levels=2, tta=True,
+                             **kw).max_px_per_launch == 2_000_000
+    assert FrameInterpolator(params, max_px_per_launch=123_456,
+                             **kw).max_px_per_launch == 123_456
