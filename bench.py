@@ -43,7 +43,6 @@ def _measure(model_kwargs: dict, b=B, h=H, w=W, iters=ITERS) -> float:
 
     from vfi_tpu.models import EMAVFI
 
-    model = EMAVFI(dtype=jnp.bfloat16, **model_kwargs)
     # Trained weights, not init: the bounded-shift DCN formulation's cost
     # is offset-data-dependent (init offsets are exactly zero = best case,
     # ~29% faster than trained), while the reference's gather-based DCN is
@@ -59,11 +58,17 @@ def _measure(model_kwargs: dict, b=B, h=H, w=W, iters=ITERS) -> float:
         ckpt = next((p for p in (os.path.join(art, "emavfi_q2_best.npz"),
                                  os.path.join(art, "emavfi_long2_best.npz"))
                      if os.path.exists(p)), None)
+    extra = {}
     if ckpt:
-        from vfi_tpu.utils.convert import load_params_npz
+        from vfi_tpu.utils.convert import infer_model_dims, load_params_npz
 
         params = load_params_npz(ckpt)
-    else:
+        # checkpoint topology (e.g. the q13 fuse_project lane-aligned
+        # fusion) is auto-detected off the tree, like the engine does
+        extra["fuse_project"] = infer_model_dims(params).get(
+            "fuse_project", False)
+    model = EMAVFI(dtype=jnp.bfloat16, **model_kwargs, **extra)
+    if not ckpt:
         small = jnp.zeros((1, 64, 64, 3), jnp.float32)
         params = jax.jit(model.init)(jax.random.PRNGKey(0), small, small)
 
