@@ -147,11 +147,22 @@ def main() -> int:
     if smoke:  # CPU: Pallas needs interpret mode; just validate the harness
         configs = [c for c in configs if not c[1].get("use_pallas")]
     fps, used, used_kwargs, best_b = None, None, None, shape.get("b", B)
+    # The two Pallas generations trade places between the per-layer
+    # microbench and the full-model composition (v5's host-side shifted
+    # copies cost HBM the kernel saves back — round 3), so the top TWO
+    # configs are MEASURED at the base batch and the faster one wins;
+    # later rungs still only run if everything above them fails.
+    measured = 0
     for name, kwargs in configs:
         try:
-            fps = _measure(kwargs, **shape)
-            used, used_kwargs = name, kwargs
-            break
+            f_try = _measure(kwargs, **shape)
+            measured += 1
+            print(f"# bench config {name}: {f_try:.3f} frames/s",
+                  file=sys.stderr)
+            if fps is None or f_try > fps:
+                fps, used, used_kwargs = f_try, name, kwargs
+            if measured >= 2:
+                break
         except Exception as e:  # compile/OOM on this toolchain -> degrade
             print(f"# bench config {name} failed: {type(e).__name__}",
                   file=sys.stderr)
