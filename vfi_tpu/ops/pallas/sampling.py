@@ -1011,11 +1011,11 @@ def pallas_sampling_v5_feasible(h: int, w: int, c: int, cout: int, R: int,
 
 
 def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
-                        x_tile, samp_ref, sem, sem2, *, kh: int, kw: int,
-                        R: int, TH: int, W: int, C: int, cout: int,
-                        padding: int, ux_list: tuple,
+                        x_tile, xs_ref, samp_ref, sem, sem2, *, kh: int,
+                        kw: int, R: int, TH: int, W: int, C: int,
+                        cout: int, padding: int, ux_list: tuple,
                         variant: str = "dot_nhwc", prefetch: bool = True,
-                        _dbg: str = "full"):
+                        prep: str = "stage", _dbg: str = "full"):
     """Transposed-layout DCN forward (see the v5 block comment).
 
     pm_ref: (1, 3*taps, TH, W) f32 pre-clipped planes (dy*9, dx*9, mask*9).
@@ -1038,13 +1038,22 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
 
     sems = (sem, sem2)
 
+    if prep == "stage":
+        # ONE wide transposed slab per row-slab (x_hbm is (B, Hp, Cs,
+        # WL_wide)); per-ux windows are staged in-VMEM by a static
+        # lane-offset copy — no per-shift HBM copies at all.
+        cpw = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(r * TH, TH + 2 * M)], x_tile, sem)
+        cpw.start()
+        cpw.wait()
+
     def _copy(ui2):
         dst = x_tile.at[ui2 % 2] if prefetch else x_tile
         return pltpu.make_async_copy(
             x_hbm.at[b, ui2, pl.ds(r * TH, TH + 2 * M)], dst,
             sems[ui2 % 2] if prefetch else sem)
 
-    if prefetch:
+    if prep == "copies" and prefetch:
         # Double-buffered slab DMA: ui+1's copy runs while ui blends.
         # Copies are unconditional (the compute skip predicates remain) —
         # hiding the ~6 ms/layer of serialized DMA waits measured in the
@@ -1067,14 +1076,19 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
                     bd_ref[0, 0, 2, t] < sx + 1))
         any_pred = functools.reduce(jnp.logical_or, preds)
 
-        if prefetch:
+        if prep == "copies" and prefetch:
             if ui + 1 < len(ux_list):
                 _copy(ui + 1).start()
             _copy(ui).wait()
 
         @pl.when(any_pred)
         def _(ui=ui, ux=ux, rel_j=rel_j):
-            if prefetch:
+            side = padding + R
+            if prep == "stage":
+                # static lane-offset staging copy from the wide slab
+                xs_ref[...] = x_tile[:, :, side + ux:side + ux + W]
+                tile = xs_ref
+            elif prefetch:
                 tile = x_tile.at[ui % 2]
             else:
                 tile = x_tile
@@ -1161,7 +1175,7 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
 
 @functools.partial(jax.jit, static_argnames=("max_offset", "padding",
                                              "variant", "prefetch",
-                                             "_dbg"))
+                                             "prep", "_dbg"))
 def deform_conv2d_pallas_v5(
     x: jnp.ndarray,
     offset: jnp.ndarray,
@@ -1172,6 +1186,7 @@ def deform_conv2d_pallas_v5(
     padding: int = 1,
     variant: str = "dot_nhwc",
     prefetch: bool = True,
+    prep: str = "stage",
     _dbg: str = "full",
 ) -> jnp.ndarray:
     """Fused bounded-offset DCNv2, transposed compute layout (v5).
@@ -1195,16 +1210,22 @@ def deform_conv2d_pallas_v5(
                      slabs=2 if prefetch else 1)
 
     ux_list = tuple(range(-(padding + R), (kw - 1 - padding) + R + 1))
-    # (B, Hp, Cs, W + pad): transpose once, then one shifted zero-padded
-    # copy per absolute column shift (fused XLA pad/slice passes).
+    # (B, Hp, Cs, W + pad): transpose once; then either one shifted
+    # zero-padded copy per absolute column shift (prep="copies") or a
+    # single wide array the kernel lane-stages from (prep="stage").
     xt = jnp.pad(x, ((0, 0), (M, M), (0, 0), (0, cs - cin))
                  ).transpose(0, 1, 3, 2)                   # (B, Hp, Cs, W)
     side = padding + R
-    xt_wide = jnp.pad(xt, ((0, 0), (0, 0), (0, 0),
-                           (side, side + wl - w)))
-    xs = jnp.stack([
-        jax.lax.slice_in_dim(xt_wide, side + ux, side + ux + wl, axis=3)
-        for ux in ux_list], axis=1)                        # (B, n_ux, Hp, Cs, Wl)
+    if prep == "stage":
+        wide = -(-(2 * side + wl) // 128) * 128
+        xs = jnp.pad(xt, ((0, 0), (0, 0), (0, 0),
+                          (side, wide - side - w)))        # (B, Hp, Cs, wide)
+    else:
+        xt_wide = jnp.pad(xt, ((0, 0), (0, 0), (0, 0),
+                               (side, side + wl - w)))
+        xs = jnp.stack([
+            jax.lax.slice_in_dim(xt_wide, side + ux, side + ux + wl, axis=3)
+            for ux in ux_list], axis=1)                    # (B, n_ux, Hp, Cs, Wl)
 
     w_taps = jnp.pad(weight.reshape(kh * kw, cin, cout),
                      ((0, 0), (0, cs - cin), (0, 0)))
@@ -1228,7 +1249,7 @@ def deform_conv2d_pallas_v5(
     kern = functools.partial(
         _sampling_kernel_v5, kh=kh, kw=kw, R=R, TH=TH, W=wl, C=cs,
         cout=cout, padding=padding, ux_list=ux_list, variant=variant,
-        prefetch=prefetch, _dbg=_dbg)
+        prefetch=prefetch, prep=prep, _dbg=_dbg)
     if variant == "dot_nhwc":
         out_spec = pl.BlockSpec((1, TH, wl, cout),
                                 lambda bi, ri: (bi, ri, 0, 0))
@@ -1253,8 +1274,12 @@ def deform_conv2d_pallas_v5(
         out_specs=out_spec,
         out_shape=out_sds,
         scratch_shapes=[
-            pltpu.VMEM(((2, TH + 2 * M, cs, wl) if prefetch
-                        else (TH + 2 * M, cs, wl)), dtype),
+            (pltpu.VMEM((TH + 2 * M, cs,
+                         -(-(2 * side + wl) // 128) * 128), dtype)
+             if prep == "stage" else
+             pltpu.VMEM(((2, TH + 2 * M, cs, wl) if prefetch
+                         else (TH + 2 * M, cs, wl)), dtype)),
+            pltpu.VMEM((TH + 2 * M, cs, wl), dtype),
             pltpu.VMEM((TH, cs, wl), dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
