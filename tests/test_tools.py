@@ -58,7 +58,9 @@ def test_bench_batch_sweep(monkeypatch, capsys):
     monkeypatch.setattr(bench, "_measure", fake)
     assert bench.main() == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert calls == [4, 2, 8, 16]
+    # two config measurements at the base batch (top-2 adjudication),
+    # then the full sweep on the winner
+    assert calls == [4, 4, 2, 8, 16]
     assert out["value"] == 15.0
     assert "_b8_" in out["metric"]
     assert out["vs_baseline"] == round(15.0 / bench.CPU_BASELINE_FPS, 2)
@@ -73,7 +75,7 @@ def test_bench_batch_sweep(monkeypatch, capsys):
     monkeypatch.setattr(bench, "_measure", flat)
     assert bench.main() == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert calls == [4, 2, 8, 16]
+    assert calls == [4, 4, 2, 8, 16]
     assert out["value"] == 10.1 and "_b8_" in out["metric"]
 
 
