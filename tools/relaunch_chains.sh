@@ -78,6 +78,20 @@ fi
 if [ -s artifacts/q13_eval.json ] || [ -s artifacts/q13_eval_rejected.json ]; then
   touch runs/queueW/q13.done runs/queueW/eval.done runs/queueW/COMPLETE
 fi
+# queueX (round-3 proof chain): every step's terminal artifact is committed
+mkdir -p runs/queueX
+[ -s artifacts/v5_probe.log ] && touch runs/queueX/v5probe.done
+[ -s artifacts/v5_bench.log ] && touch runs/queueX/v5bench.done
+[ -s artifacts/tpu_smoke.json ] && touch runs/queueX/smoke.done
+[ -s artifacts/bench_r3_sweep.json ] && touch runs/queueX/bench.done
+[ -s artifacts/video_upconv_1080p_r3.json ] && touch runs/queueX/video1080.done
+[ -s artifacts/video_upconv_4k_r3.json ] && touch runs/queueX/video4k.done
+[ -s artifacts/serve_bench_lb2.json ] && touch runs/queueX/serveab.done
+if [ -f runs/queueX/smoke.done ] && [ -f runs/queueX/bench.done ] \
+    && [ -f runs/queueX/video1080.done ] && [ -f runs/queueX/video4k.done ] \
+    && [ -f runs/queueX/serveab.done ]; then
+  touch runs/queueX/COMPLETE
+fi
 
 # exact argv match ("bash tools/<q>.sh"): a loose substring grep would
 # count an editor/less/tail holding the script open as "running" and
