@@ -175,7 +175,9 @@ def main() -> int:
         # parity HBM guard in _measure, so the sweep completes instead of
         # OOMing), keep the best.
         sweep = {B: fps}
-        for b_try in (2, 8, 16):
+        # b6 included: the v5-stage curve peaks between b4 and b8
+        # (measured 7.49 / 7.81 / 7.11 at b4/b6/b8, round 3)
+        for b_try in (2, 6, 8, 16):
             try:
                 sweep[b_try] = _measure(used_kwargs, b=b_try)
             except Exception as e:

@@ -53,14 +53,14 @@ def test_bench_batch_sweep(monkeypatch, capsys):
         calls.append(b)
         if b == 16:
             raise RuntimeError("RESOURCE_EXHAUSTED")  # simulated chip OOM
-        return {2: 8.0, 4: 10.0, 8: 15.0}[b]
+        return {2: 8.0, 4: 10.0, 6: 12.0, 8: 15.0}[b]
 
     monkeypatch.setattr(bench, "_measure", fake)
     assert bench.main() == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     # two config measurements at the base batch (top-2 adjudication),
     # then the full sweep on the winner
-    assert calls == [4, 4, 2, 8, 16]
+    assert calls == [4, 4, 2, 6, 8, 16]
     assert out["value"] == 15.0
     assert "_b8_" in out["metric"]
     assert out["vs_baseline"] == round(15.0 / bench.CPU_BASELINE_FPS, 2)
@@ -70,12 +70,12 @@ def test_bench_batch_sweep(monkeypatch, capsys):
 
     def flat(kwargs, b=4, h=720, w=1280, iters=10):
         calls.append(b)
-        return {2: 9.0, 4: 10.0, 8: 10.1, 16: 9.5}[b]
+        return {2: 9.0, 4: 10.0, 6: 9.8, 8: 10.1, 16: 9.5}[b]
 
     monkeypatch.setattr(bench, "_measure", flat)
     assert bench.main() == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert calls == [4, 4, 2, 8, 16]
+    assert calls == [4, 4, 2, 6, 8, 16]
     assert out["value"] == 10.1 and "_b8_" in out["metric"]
 
 
