@@ -27,7 +27,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 def capture(b: int, h: int, w: int, iters: int, logdir: str,
             use_pallas: bool = True, ckpt: str | None = None,
-            tile_w: int | None = None) -> None:
+            tile_w: int | None = None, dcn_kernel: str = "v4") -> None:
     from vfi_tpu.models import EMAVFI
 
     kw = {}
@@ -41,7 +41,8 @@ def capture(b: int, h: int, w: int, iters: int, logdir: str,
         kw["fuse_project"] = infer_model_dims(params).get("fuse_project",
                                                           False)
     model = EMAVFI(dtype=jnp.bfloat16, dcn_max_offset=2, warp_max_flow=16,
-                   use_pallas=use_pallas, dcn_tile_w=tile_w, **kw)
+                   use_pallas=use_pallas, dcn_tile_w=tile_w,
+                   dcn_kernel=dcn_kernel, **kw)
     if not ckpt:
         small = jnp.zeros((1, 64, 64, 3), jnp.float32)
         params = jax.jit(model.init)(jax.random.PRNGKey(0), small, small)
@@ -120,6 +121,7 @@ def main() -> int:
                    help="trained checkpoint npz (trained-offset regime; "
                         "fuse_project topology auto-detected)")
     p.add_argument("--tile_w", type=int, default=None)
+    p.add_argument("--dcn_kernel", default="v4", choices=("v4", "v5"))
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--keep", default=None,
                    help="keep the trace under this dir (default: tempdir)")
@@ -130,7 +132,7 @@ def main() -> int:
                      recursive=True):  # reuse an existing kept trace
         capture(args.b, args.h, args.w, args.iters, logdir,
                 use_pallas=not args.no_pallas, ckpt=args.ckpt,
-                tile_w=args.tile_w)
+                tile_w=args.tile_w, dcn_kernel=args.dcn_kernel)
     per_op, per_cat, total = aggregate(logdir)
 
     n_frames = args.b * args.iters
