@@ -78,10 +78,12 @@ def main(argv=None) -> int:
                             "lane-dense layout)")
         p.add_argument("--dcn_tile_w", type=int, default=None,
                        help="explicit Pallas DCN column-tile width (e.g. 256): per-tile skip predicates are tighter on trained offsets; bit-identical, auto-ignored for widths it does not divide")
-        p.add_argument("--max_px_per_launch", type=int, default=8_000_000,
+        p.add_argument("--max_px_per_launch", type=int, default=None,
                        help="engine HBM guard: split batches whose total "
                             "pixel count exceeds this into sequential "
-                            "device launches (0 disables)")
+                            "device launches (0 disables; default: "
+                            "graph-aware auto — 8M plain, 4M flow-prior, "
+                            "halved for TTA)")
         p.add_argument("--cascade_levels", type=int, default=1,
                        help="EMAVFI self-cascade depth: >1 runs the motion "
                             "stages coarse-to-fine (shared weights) — use "
@@ -169,7 +171,7 @@ def main(argv=None) -> int:
                                    dcn_tile_w=args.dcn_tile_w,
                                    dcn_kernel=args.dcn_kernel,
                                    cascade_levels=args.cascade_levels,
-                                   max_px_per_launch=args.max_px_per_launch or None,
+                                   max_px_per_launch=("auto" if args.max_px_per_launch is None else args.max_px_per_launch or None),
                                    mesh=mesh, spatial=args.spatial > 1,
                                    **flow_kw)
         mid = np.asarray(interp.midpoints(load(args.frame0), load(args.frame1)))[0]
@@ -187,7 +189,7 @@ def main(argv=None) -> int:
                                    dcn_tile_w=args.dcn_tile_w,
                                    dcn_kernel=args.dcn_kernel,
                                    cascade_levels=args.cascade_levels,
-                                   max_px_per_launch=args.max_px_per_launch or None,
+                                   max_px_per_launch=("auto" if args.max_px_per_launch is None else args.max_px_per_launch or None),
                                    mesh=mesh, spatial=args.spatial > 1,
                                    **flow_kw)
         all_stats = interpolate_videos(
@@ -211,7 +213,7 @@ def main(argv=None) -> int:
                                dcn_tile_w=args.dcn_tile_w,
                                dcn_kernel=args.dcn_kernel,
                                cascade_levels=args.cascade_levels,
-                               max_px_per_launch=args.max_px_per_launch or None,
+                               max_px_per_launch=("auto" if args.max_px_per_launch is None else args.max_px_per_launch or None),
                                mesh=mesh, spatial=args.spatial > 1,
                                **flow_kw)
     from vfi_tpu.infer.video import interpolate_video

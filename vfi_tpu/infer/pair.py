@@ -78,7 +78,7 @@ class FrameInterpolator:
                  io_uint8: bool = False,
                  auto_scale: Optional[float] = None,
                  cascade_levels: int = 1,
-                 max_px_per_launch: Optional[int] = 8_000_000):
+                 max_px_per_launch="auto"):
         """`spatial=True` additionally shards frame height over the mesh's
         'spatial' axis (single-clip 1080p/4K mode; XLA inserts the conv/
         shift halo exchanges — see tests/test_parallel.py).
@@ -147,10 +147,12 @@ class FrameInterpolator:
         # than the plain forward — hardware-bisected at 1080p: plain b4
         # (8.3M px) runs, flow-prior b3 (6.2M px) CRASHES the TPU worker
         # while b2 (4.1M px) runs (round 3, docs/PERFORMANCE.md "1080p
-        # worker-crash bisection"). When the caller left the default
-        # budget, shrink it for flow-prior (and again for TTA's 4
-        # in-graph branches); an explicitly different budget is respected.
-        if max_px_per_launch == 8_000_000:
+        # worker-crash bisection"). The default is the sentinel "auto"
+        # (resolved here to 8M plain / 4M flow-prior / halved for TTA) so
+        # ANY explicit integer — including 8_000_000 itself — is honored
+        # verbatim; None disables the guard.
+        if max_px_per_launch == "auto":
+            max_px_per_launch = 8_000_000
             if flow_params is not None:
                 max_px_per_launch = 4_000_000
             if tta:
@@ -310,18 +312,48 @@ class FrameInterpolator:
         Returns: (B, H, W, 3) device array in the same convention.
         """
         b = f0.shape[0]
+        # Scale-adaptive routing is decided ONCE per midpoints() call —
+        # probed on the first HBM-guard chunk if the batch splits — so every
+        # chunk of one video batch takes the same path (per-chunk probes
+        # could mix native and half-res frames within a batch: temporal
+        # flicker, and multiple probe entries per call).
+        scaled = None
+        if self._auto_scale is not None:
+            scaled = self._probe_scaled(f0, f1)
         if self.max_px_per_launch is not None and b > 1:
             d = self.mesh.shape["data"]
             px = f0.shape[1] * f0.shape[2]
             cap = max(1, self.max_px_per_launch // px)
             cap = max(d, cap // d * d)  # keep chunks DP-divisible
             if b > cap:
-                outs = [self._midpoints_launch(f0[i:i + cap], f1[i:i + cap])
+                outs = [self._midpoints_launch(f0[i:i + cap], f1[i:i + cap],
+                                               scaled=scaled)
                         for i in range(0, b, cap)]
                 return jnp.concatenate(outs, axis=0)
-        return self._midpoints_launch(f0, f1)
+        return self._midpoints_launch(f0, f1, scaled=scaled)
 
-    def _midpoints_launch(self, f0, f1) -> jnp.ndarray:
+    def _probe_scaled(self, f0, f1) -> bool:
+        """One auto_scale flow probe (on at most the first guard chunk's
+        pairs, DP-padded): True = route this whole call half-res."""
+        d = self.mesh.shape["data"]
+        if self.max_px_per_launch is not None:
+            px = f0.shape[1] * f0.shape[2]
+            cap = max(d, max(1, self.max_px_per_launch // px) // d * d)
+            f0, f1 = f0[:cap], f1[:cap]
+        pad = (-f0.shape[0]) % d
+        if pad:
+            f0 = np.concatenate([f0, np.repeat(f0[-1:], pad, axis=0)])
+            f1 = np.concatenate([f1, np.repeat(f1[-1:], pad, axis=0)])
+        p95 = float(self._flow_p95(self.params, jnp.asarray(f0),
+                                   jnp.asarray(f1)))
+        self.auto_scale_stats["probes"].append(p95)
+        if p95 > self._auto_scale:
+            self.auto_scale_stats["scaled"] += 1
+            return True
+        return False
+
+    def _midpoints_launch(self, f0, f1, scaled: Optional[bool] = None
+                          ) -> jnp.ndarray:
         """One device launch (post-guard): DP padding + dispatch."""
         b = f0.shape[0]
         d = self.mesh.shape["data"]
@@ -329,21 +361,17 @@ class FrameInterpolator:
         if pad:
             f0 = np.concatenate([f0, np.repeat(f0[-1:], pad, axis=0)])
             f1 = np.concatenate([f1, np.repeat(f1[-1:], pad, axis=0)])
-        if self._auto_scale is not None:
+        if scaled:
+            # large motion: halve the resolution (halves the apparent
+            # flow, back inside the receptive field), upsample the
+            # midpoint back to native size
             jf0, jf1 = jnp.asarray(f0), jnp.asarray(f1)
-            p95 = float(self._flow_p95(self.params, jf0, jf1))
-            self.auto_scale_stats["probes"].append(p95)
-            if p95 > self._auto_scale:
-                self.auto_scale_stats["scaled"] += 1
-                # large motion: halve the resolution (halves the apparent
-                # flow, back inside the receptive field), upsample the
-                # midpoint back to native size
-                h, w = f0.shape[1], f0.shape[2]
-                out = self._fwd(self.params,
-                                self._resize(jf0, (h // 2, w // 2)),
-                                self._resize(jf1, (h // 2, w // 2)))
-                out = self._resize(out, (h, w))
-                return out[:b] if pad else out
+            h, w = f0.shape[1], f0.shape[2]
+            out = self._fwd(self.params,
+                            self._resize(jf0, (h // 2, w // 2)),
+                            self._resize(jf1, (h // 2, w // 2)))
+            out = self._resize(out, (h, w))
+            return out[:b] if pad else out
         if self._spatial_manual:
             # The halo-exchange pipeline needs H % (4 * spatial) == 0
             # (strided context-encoder grid alignment) AND — for the Pallas

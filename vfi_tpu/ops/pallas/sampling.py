@@ -354,7 +354,15 @@ def _pick_th_tw_v4(h: int, w: int, cpad: int, coutp: int, m: int, kh: int,
     cands = ([w] if w <= 1280 else []) \
         + [t for t in (128, 256, 384) if t < w and w % t == 0]
     if not cands:
-        cands = [w]  # non-tileable width wider than 1280: untiled or bust
+        # Non-tileable width wider than 1280 (e.g. 1366, 1600): the only
+        # plan left would be the untiled-wide compile family that kernel-
+        # faulted the TPU worker at 1920 (see docstring). Report infeasible
+        # so the layer degrades to the numerically identical XLA shifts
+        # path instead of risking a hard worker fault.
+        raise ValueError(
+            f"width {w} > 1280 has no 128/256/384 column tiling; refusing "
+            "the untiled-wide plan (kernel-fault risk) — use the XLA "
+            "shifts fallback")
     for tw in cands:
         try:
             th = _pick_th_v4(h, tw, cpad, coutp, m, kh, itemsize=itemsize,
