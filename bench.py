@@ -129,6 +129,12 @@ def main() -> int:
     # shifts path at every offset regime (docs/PERFORMANCE.md); XLA shifts
     # and exact-gather remain as degradation rungs if Mosaic fails.
     configs = [
+        # round 4: + the packed Pallas conv kernel for the stride-1 trunk
+        # (the XLA conv emitter runs these at ~8% MFU; see
+        # docs/PERFORMANCE.md "Pallas conv kernel")
+        ("pallas-v5+conv", dict(dcn_max_offset=2, warp_max_flow=16,
+                                use_pallas=True, dcn_kernel="v5",
+                                conv_kernel="pallas")),
         # v5 (transposed layout, dot_nhwc orientation): C in sublanes ->
         # lane-dense blends; measured 25.9 ms/layer trained vs v4-tw256's
         # ~30 and untiled v4's 32.7 at 720p (docs/PERFORMANCE.md round 3)

@@ -1,0 +1,148 @@
+"""Pallas conv kernels vs the XLA conv (interpret mode on CPU).
+
+Correctness anchor: conv2d_pallas / conv2d_pallas_v2 == the ConvBlock
+semantics (lax.conv_general_dilated, zeros padding k//2, f32 accumulation,
+fused bias + ReLU); conv2d_fast's hand-written backward == jax.vjp of the
+XLA composition.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from vfi_tpu.ops.pallas.conv import (conv2d_pallas, conv2d_pallas_v2,
+                                     pallas_conv_feasible,
+                                     pallas_conv_v2_feasible)
+from vfi_tpu.ops.pallas.wrappers import conv2d_fast
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def _ref(x, w, b, act):
+    o = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((w.shape[0] // 2,) * 2, (w.shape[0] // 2,) * 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    if b is not None:
+        o = o + b
+    if act:
+        o = jnp.maximum(o, 0.0)
+    return o.astype(x.dtype)
+
+
+def _case(rng, h, w, cin, cout, b=2):
+    x = jnp.asarray(rng.standard_normal((b, h, w, cin)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1,
+                     jnp.float32)
+    bs = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+    return x, wt, bs
+
+
+@pytest.mark.parametrize("cin,cout,act", [(6, 64, True), (64, 64, True),
+                                          (64, 32, False), (128, 64, True)])
+@pytest.mark.parametrize("variant", ["im2col", "direct"])
+def test_v1_matches_xla(rng, cin, cout, act, variant):
+    x, wt, bs = _case(rng, 16, 40, cin, cout)
+    out = conv2d_pallas(x, wt, bs, act=act, variant=variant)
+    ref = _ref(x, wt, bs, act)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("cin,cout,act", [(64, 64, True), (128, 64, True),
+                                          (64, 2, False), (64, 32, True)])
+def test_v2_matches_xla(rng, cin, cout, act):
+    # 16x32 exercises both edge slabs and both packed parities
+    x, wt, bs = _case(rng, 16, 32, cin, cout)
+    out = conv2d_pallas_v2(x, wt, bs, act=act)
+    ref = _ref(x, wt, bs, act)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_v2_no_bias(rng):
+    x, wt, _ = _case(rng, 16, 16, 64, 64)
+    out = conv2d_pallas_v2(x, wt, None, act=False)
+    ref = _ref(x, wt, None, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fast_wrapper_gradients_match_xla(rng):
+    """The hand-written backward (no forward recompute) must equal
+    jax.vjp of the XLA conv + bias + relu composition exactly."""
+    x, wt, bs = _case(rng, 8, 24, 16, 8)
+
+    def ref(a, w, b):
+        return _ref(a, w, b, True).astype(jnp.float32)
+
+    g = jnp.asarray(rng.standard_normal((2, 8, 24, 8)), jnp.float32)
+    _, vjp_ref = jax.vjp(ref, x, wt, bs)
+    _, vjp_p = jax.vjp(lambda a, w, b: conv2d_fast(a, w, b, True), x, wt, bs)
+    for a, b_ in zip(vjp_ref(g), vjp_p(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_feasibility_gates():
+    # 720p trunk shapes are v2-feasible; odd channel counts are not
+    assert pallas_conv_v2_feasible(720, 1280, 64, 64)
+    assert pallas_conv_v2_feasible(720, 1280, 128, 64)
+    assert not pallas_conv_v2_feasible(720, 1280, 67, 67)
+    assert not pallas_conv_v2_feasible(720, 1280, 6, 64)
+    # v1 accepts any channels with a feasible slab
+    assert pallas_conv_feasible(720, 1280, 6, 64)
+    assert pallas_conv_feasible(720, 1280, 67, 67)
+
+
+def test_convblock_param_tree_identical(rng):
+    """ConvBlock(use_pallas=True) and (False) must build byte-identical
+    parameter trees (same names, shapes, init), so checkpoints are
+    interchangeable between the kernel paths."""
+    from vfi_tpu.models.layers import ConvBlock
+
+    x = jnp.zeros((1, 16, 32, 64), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    p_xla = ConvBlock(64).init(key, x)
+    p_pal = ConvBlock(64, use_pallas=True).init(key, x)
+    flat_a = jax.tree_util.tree_leaves_with_path(p_xla)
+    flat_b = jax.tree_util.tree_leaves_with_path(p_pal)
+    assert [k for k, _ in flat_a] == [k for k, _ in flat_b]
+    for (_, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_convblock_pallas_forward_matches_xla(rng, monkeypatch):
+    """With the backend gate forced open (interpret mode executes the
+    kernel on CPU), ConvBlock's Pallas path must match its XLA path."""
+    import vfi_tpu.ops.pallas.sampling as sampling
+
+    monkeypatch.setattr(sampling, "pallas_backend_supported", lambda: True)
+
+    from vfi_tpu.models.layers import ConvBlock
+
+    x = jnp.asarray(rng.standard_normal((1, 16, 32, 64)), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    blk_x = ConvBlock(64)
+    blk_p = ConvBlock(64, use_pallas=True)
+    params = blk_x.init(key, x)
+    np.testing.assert_allclose(
+        np.asarray(blk_p.apply(params, x)),
+        np.asarray(blk_x.apply(params, x)), atol=2e-5)
+
+
+def test_model_conv_kernel_param_tree_stable(rng):
+    """EMAVFI(conv_kernel='pallas') has the same parameter tree as the
+    default — the flag changes kernels, never checkpoints."""
+    from vfi_tpu.models import EMAVFI
+
+    f = jnp.zeros((1, 16, 32, 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    p_a = EMAVFI().init(key, f, f)
+    p_b = EMAVFI(conv_kernel="pallas").init(key, f, f)
+    assert (jax.tree_util.tree_structure(p_a)
+            == jax.tree_util.tree_structure(p_b))

@@ -76,6 +76,11 @@ def main(argv=None) -> int:
         p.add_argument("--dcn_kernel", default="v4", choices=("v4", "v5"),
                        help="Pallas DCN kernel generation (v5: transposed "
                             "lane-dense layout)")
+        p.add_argument("--conv_kernel", default="xla",
+                       choices=("xla", "pallas"),
+                       help="conv trunk kernel: 'pallas' runs the stride-1 "
+                            "blocks through the fused packed conv kernel "
+                            "(same numerics; faster on this toolchain)")
         p.add_argument("--dcn_tile_w", type=int, default=None,
                        help="explicit Pallas DCN column-tile width (e.g. 256): per-tile skip predicates are tighter on trained offsets; bit-identical, auto-ignored for widths it does not divide")
         p.add_argument("--max_px_per_launch", type=int, default=None,
@@ -170,6 +175,7 @@ def main(argv=None) -> int:
                                    use_pallas=args.use_pallas,
                                    dcn_tile_w=args.dcn_tile_w,
                                    dcn_kernel=args.dcn_kernel,
+                                   conv_kernel=args.conv_kernel,
                                    cascade_levels=args.cascade_levels,
                                    max_px_per_launch=("auto" if args.max_px_per_launch is None else args.max_px_per_launch or None),
                                    mesh=mesh, spatial=args.spatial > 1,
@@ -188,6 +194,7 @@ def main(argv=None) -> int:
                                    use_pallas=args.use_pallas,
                                    dcn_tile_w=args.dcn_tile_w,
                                    dcn_kernel=args.dcn_kernel,
+                                   conv_kernel=args.conv_kernel,
                                    cascade_levels=args.cascade_levels,
                                    max_px_per_launch=("auto" if args.max_px_per_launch is None else args.max_px_per_launch or None),
                                    mesh=mesh, spatial=args.spatial > 1,
@@ -212,6 +219,7 @@ def main(argv=None) -> int:
                                use_pallas=args.use_pallas,
                                dcn_tile_w=args.dcn_tile_w,
                                dcn_kernel=args.dcn_kernel,
+                               conv_kernel=args.conv_kernel,
                                cascade_levels=args.cascade_levels,
                                max_px_per_launch=("auto" if args.max_px_per_launch is None else args.max_px_per_launch or None),
                                mesh=mesh, spatial=args.spatial > 1,

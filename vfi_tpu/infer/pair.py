@@ -69,6 +69,7 @@ class FrameInterpolator:
                  use_pallas: bool = False,
                  dcn_tile_w: Optional[int] = None,
                  dcn_kernel: str = "v4",
+                 conv_kernel: str = "xla",
                  spatial: bool = False,
                  flow_params=None,
                  flow_prior_scale: float = 0.5,
@@ -166,7 +167,7 @@ class FrameInterpolator:
             dtype=jnp.bfloat16 if bf16 else None,
             dcn_max_offset=dcn_max_offset, warp_max_flow=warp_max_flow,
             use_pallas=use_pallas, dcn_tile_w=dcn_tile_w,
-            dcn_kernel=dcn_kernel,
+            dcn_kernel=dcn_kernel, conv_kernel=conv_kernel,
             cascade_levels=cascade_levels,
             # auto-detected off the tree (utils/convert.infer_model_dims):
             # checkpoints carry their own topology, no side-channel flag.

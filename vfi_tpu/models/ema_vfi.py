@@ -96,6 +96,14 @@ class EMAVFI(nn.Module):
     # channel count — pairs naturally with fuse_project). Per-layer
     # fallback to v4/shifts when infeasible.
     dcn_kernel: str = "v4"
+    # Conv trunk kernel: "xla" lowers every ConvBlock through
+    # lax.conv_general_dilated; "pallas" routes the stride-1 odd-k blocks
+    # (feature extraction, motion estimation, reconstruction, ctx_conv3 —
+    # the ~62 ms/frame at 720p this toolchain's conv emitter spends at ~8%
+    # MFU, docs/PERFORMANCE.md roofline) through the fused Pallas conv
+    # kernel (ops/pallas/conv.py). Same params and numerics to bf16
+    # rounding; per-shape fallback to XLA when infeasible.
+    conv_kernel: str = "xla"
     # Explicit column-tile width for the Pallas DCN kernels (None = auto).
     # Real trained offsets are spatially heterogeneous, so per-tile skip
     # predicates drop ~15% of (tap, shift) pair work that full-width
@@ -167,12 +175,16 @@ class EMAVFI(nn.Module):
         # Submodules are created ONCE and applied at every cascade scale —
         # Flax shares the parameters across calls, so the parameter tree
         # (names and shapes) is identical for every cascade_levels value.
-        feat_conv1 = ConvBlock(m, dtype=dt, name="feat_ext_conv1")
-        feat_blocks = [ConvBlock(m, dtype=dt, name=f"feat_ext_block{i}")
+        pc = self.conv_kernel == "pallas"
+        feat_conv1 = ConvBlock(m, dtype=dt, use_pallas=pc,
+                               name="feat_ext_conv1")
+        feat_blocks = [ConvBlock(m, dtype=dt, use_pallas=pc,
+                                 name=f"feat_ext_block{i}")
                        for i in range(self.num_blocks)]
         ctx_conv1 = ConvBlock(2 * m, stride=2, dtype=dt, name="ctx_conv1")
         ctx_conv2 = ConvBlock(4 * m, stride=2, dtype=dt, name="ctx_conv2")
-        ctx_conv3 = ConvBlock(4 * m, dtype=dt, name="ctx_conv3")
+        ctx_conv3 = ConvBlock(4 * m, dtype=dt, use_pallas=pc,
+                              name="ctx_conv3")
         ctx_dense = nn.Dense(
             m,
             kernel_init=torch_kernel_init,
@@ -181,9 +193,12 @@ class EMAVFI(nn.Module):
             param_dtype=jnp.float32,
             name="ctx_dense",
         )
-        motion_conv1 = ConvBlock(m, dtype=dt, name="motion_conv1")
-        motion_conv2 = ConvBlock(m, dtype=dt, name="motion_conv2")
-        motion_conv3 = ConvBlock(2, act=False, dtype=dt, name="motion_conv3")
+        motion_conv1 = ConvBlock(m, dtype=dt, use_pallas=pc,
+                                 name="motion_conv1")
+        motion_conv2 = ConvBlock(m, dtype=dt, use_pallas=pc,
+                                 name="motion_conv2")
+        motion_conv3 = ConvBlock(2, act=False, dtype=dt, use_pallas=pc,
+                                 name="motion_conv3")
 
         def motion_stages(a, b2, mask=mask, sharded=None):
             """Stages 1-3 (feature extraction, context encoding, motion
@@ -329,11 +344,15 @@ class EMAVFI(nn.Module):
                                              use_pallas=self.use_pallas,
                                              tile_w=self.dcn_tile_w,
                                              pallas_kernel=self.dcn_kernel,
+                                             conv_kernel=self.conv_kernel,
                                              name=f"fusion_dcn{i}")(fused))
 
         # 6. Reconstruction head -> [0, 1] frame.
-        out = mask(ConvBlock(m, dtype=dt, name="rec_conv1")(fused))
-        out = mask(ConvBlock(m // 2, dtype=dt, name="rec_conv2")(out))
-        out = ConvBlock(self.in_channels, act=False, dtype=dt, name="rec_conv3")(out)
+        out = mask(ConvBlock(m, dtype=dt, use_pallas=pc,
+                             name="rec_conv1")(fused))
+        out = mask(ConvBlock(m // 2, dtype=dt, use_pallas=pc,
+                             name="rec_conv2")(out))
+        out = ConvBlock(self.in_channels, act=False, dtype=dt, use_pallas=pc,
+                        name="rec_conv3")(out)
         out = jnp.tanh(out)
         return ((out + 1.0) * 0.5).astype(jnp.promote_types(frame1.dtype, jnp.float32))

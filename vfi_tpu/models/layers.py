@@ -80,6 +80,39 @@ def torch_bias_init(kernel_shape: Sequence[int]):
     return init
 
 
+class _PallasConv(nn.Module):
+    """Drop-in for `nn.Conv` (identical "kernel"/"bias" param tree and
+    init) whose forward runs the fused Pallas conv kernel
+    (ops/pallas/conv.py: row-slab DMA + in-VMEM im2col + one MXU dot +
+    fused bias/ReLU) through the hand-written-backward custom_vjp
+    (ops/pallas/wrappers.conv2d_fast). Callers gate on
+    `pallas_conv_feasible` + `pallas_backend_supported` first."""
+
+    features: int
+    kernel_size: int
+    kernel_init: Any
+    bias_init: Any
+    use_bias: bool = True
+    act: bool = False
+    variant: str = "im2col"
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        kernel_shape = (k, k, x.shape[-1], self.features)
+        kernel = self.param("kernel", self.kernel_init, kernel_shape,
+                            jnp.float32)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        dtype = self.dtype or x.dtype
+        from vfi_tpu.ops.pallas.wrappers import conv2d_fast
+
+        return conv2d_fast(x.astype(dtype), kernel.astype(dtype),
+                           bias.astype(dtype) if bias is not None else None,
+                           self.act, self.variant)
+
+
 class ConvBlock(nn.Module):
     """3x3 conv (+ optional ReLU) with explicit torch-style padding.
 
@@ -88,6 +121,13 @@ class ConvBlock(nn.Module):
     of 'SAME' because for stride-2 XLA's SAME picks (0,1) padding while torch
     pads (1,1) — sampling positions (and therefore converted-checkpoint
     outputs) would differ.
+
+    `use_pallas=True` routes stride-1/dilation-1/groups-1 odd-k blocks
+    through the fused Pallas conv kernel (same params, same numerics to
+    bf16 rounding; ReLU fused in-kernel) when the backend and shape
+    support it — this toolchain's XLA conv emitter runs 720p NHWC convs
+    at ~8% MFU (docs/PERFORMANCE.md roofline), the kernel measured
+    faster (tools/bench_conv.py). Falls back to `nn.Conv` otherwise.
     """
 
     features: int
@@ -99,11 +139,57 @@ class ConvBlock(nn.Module):
     use_bias: bool = True
     act: bool = True
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
+    # "auto" picks the packed v2 kernel when the shape supports it
+    # (C in {64, 128} — 8 of the 10 trunk convs), else the v1 im2col
+    # kernel, else falls back to nn.Conv.
+    pallas_variant: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = self.kernel_size
         kernel_shape = (k, k, x.shape[-1] // self.groups, self.features)
+        fast = (self.use_pallas and self.stride == 1 and self.dilation == 1
+                and self.groups == 1 and k % 2 == 1
+                and self.padding == k // 2)
+        variant = self.pallas_variant
+        if fast:
+            from vfi_tpu.ops.pallas.conv import (pallas_conv_feasible,
+                                                 pallas_conv_v2_feasible)
+            from vfi_tpu.ops.pallas.sampling import pallas_backend_supported
+
+            dtype = self.dtype or x.dtype
+            isz = jnp.dtype(dtype).itemsize
+            if not pallas_backend_supported():
+                fast = False
+            elif variant == "auto":
+                if pallas_conv_v2_feasible(x.shape[1], x.shape[2],
+                                           x.shape[-1], self.features, k,
+                                           isz):
+                    variant = "v2"
+                elif pallas_conv_feasible(x.shape[1], x.shape[2],
+                                          x.shape[-1], self.features, k,
+                                          isz):
+                    variant = "im2col"
+                else:
+                    fast = False
+            else:
+                fast = pallas_conv_feasible(
+                    x.shape[1], x.shape[2], x.shape[-1], self.features, k,
+                    isz, variant)
+        if fast:
+            # Identical param tree ("conv/kernel", "conv/bias") and init:
+            # checkpoints are interchangeable between the two paths.
+            return _PallasConv(
+                self.features, k,
+                kernel_init=torch_kernel_init,
+                bias_init=torch_bias_init(kernel_shape),
+                use_bias=self.use_bias,
+                act=self.act,
+                variant=variant,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = nn.Conv(
             self.features,
             (k, k),
@@ -169,6 +255,11 @@ class ModulatedDeformConv(nn.Module):
     # sublanes, lane-dense blends at any channel count; tile_w is ignored).
     # Falls back to v4 (then shifts) when v5 is infeasible for the shape.
     pallas_kernel: str = "v4"
+    # "pallas" routes the OFFSET-predicting conv (a full-res 3x3 stride-1
+    # conv like the trunk blocks, reference src/models/ema_vfi.py:42-43)
+    # through the packed Pallas conv kernel when feasible — same zero
+    # init, same param tree.
+    conv_kernel: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -176,19 +267,40 @@ class ModulatedDeformConv(nn.Module):
         og = self.offset_groups
         n_taps = k * k
 
-        raw = nn.Conv(
-            og * 3 * n_taps,
-            (k, k),
-            strides=(self.stride, self.stride),
-            padding=((self.padding, self.padding), (self.padding, self.padding)),
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=True,
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="offset_conv",
-        )(x)
+        off_fast = (self.conv_kernel == "pallas" and self.stride == 1
+                    and self.dilation == 1 and self.padding == k // 2)
+        if off_fast:
+            from vfi_tpu.ops.pallas.conv import pallas_conv_v2_feasible
+            from vfi_tpu.ops.pallas.sampling import pallas_backend_supported
+
+            dt_ = self.dtype or x.dtype
+            off_fast = pallas_backend_supported() and pallas_conv_v2_feasible(
+                x.shape[1], x.shape[2], x.shape[-1], og * 3 * n_taps, k,
+                jnp.dtype(dt_).itemsize)
+        if off_fast:
+            raw = _PallasConv(
+                og * 3 * n_taps, k,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros,
+                act=False,
+                variant="v2",
+                dtype=self.dtype,
+                name="offset_conv",
+            )(x)
+        else:
+            raw = nn.Conv(
+                og * 3 * n_taps,
+                (k, k),
+                strides=(self.stride, self.stride),
+                padding=((self.padding, self.padding), (self.padding, self.padding)),
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=True,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="offset_conv",
+            )(x)
 
         off_static, mask, off_dynamic = jnp.split(raw, 3, axis=-1)
         offset = jnp.concatenate([off_static, off_dynamic], axis=-1)

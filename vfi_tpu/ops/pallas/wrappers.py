@@ -119,3 +119,64 @@ def _dcn5_bwd(max_offset, res, g):
 
 
 deform_conv2d_fast_v5.defvjp(_dcn5_fwd, _dcn5_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv2d_fast(x, weight, bias, act: bool = False,
+                variant: str = "im2col"):
+    """Stride-1 odd-k conv (+ bias + optional fused ReLU): Pallas forward
+    (ops/pallas/conv.py), HAND-WRITTEN XLA backward.
+
+    Unlike the DCN wrappers (whose backward re-runs the shifts forward
+    inside jax.vjp), the conv backward is closed-form and saves only
+    (x, weight, out): the ReLU mask comes from the saved output, dx is the
+    spatially-flipped transposed conv, dw the x*g correlation expressed as
+    a conv with the image as the filter — no forward recompute at all.
+    Gradients match jax.vjp of the XLA conv+bias+relu composition
+    (tests/test_pallas_conv.py).
+    """
+    return _conv_forward(x, weight, bias, act, variant)
+
+
+def _conv_forward(x, weight, bias, act, variant):
+    from vfi_tpu.ops.pallas.conv import conv2d_pallas, conv2d_pallas_v2
+
+    if variant == "v2":
+        return conv2d_pallas_v2(x, weight, bias, act=act)
+    return conv2d_pallas(x, weight, bias, act=act, variant=variant)
+
+
+def _conv_fwd(x, weight, bias, act, variant):
+    out = _conv_forward(x, weight, bias, act, variant)
+    return out, (x, weight, out if act else None, bias)
+
+
+def _conv_bwd(act, variant, res, g):
+    x, weight, out, bias = res
+    k = weight.shape[0]
+    m = k // 2
+    g = g.astype(jnp.float32)
+    if act:
+        g = g * (out > 0)
+    db = (None if bias is None
+          else jnp.sum(g, axis=(0, 1, 2)).astype(bias.dtype))
+    # dx: transposed conv = conv with the spatially-flipped, IO-swapped
+    # kernel (stride 1, same padding).
+    w_flip = jnp.flip(weight, (0, 1)).transpose(0, 1, 3, 2)
+    dx = jax.lax.conv_general_dilated(
+        g, w_flip.astype(g.dtype), (1, 1), ((m, m), (m, m)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    # dw: correlation of x with g — a conv whose "filter" is the whole
+    # cotangent image (batch <-> feature transposed operands).
+    dw = jax.lax.conv_general_dilated(
+        x.transpose(3, 1, 2, 0).astype(jnp.float32),   # (Cin, H, W, B)
+        g.transpose(1, 2, 0, 3),                        # (H, W, B, Cout)
+        (1, 1), ((m, m), (m, m)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)             # (Cin, k, k, Cout)
+    dw = dw.transpose(1, 2, 0, 3).astype(weight.dtype)
+    return dx, dw, db
+
+
+conv2d_fast.defvjp(_conv_fwd, _conv_bwd)
