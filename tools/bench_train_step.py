@@ -1,0 +1,96 @@
+"""Training-step throughput bench (VERDICT r3 #3: this table never
+existed). Measures the jit'd donated train step (fwd + all losses + bwd +
+AdamW update) on synthetic batches for kernel-path ablations.
+
+Steps are chained host-side (each call consumes the donated state returned
+by the previous one — a real data dependence), so the relay cannot memoize
+repeats; the first timed call after warmup is excluded.
+
+Usage:
+  timeout -k 5 1800 python tools/bench_train_step.py \
+      [--crop 256] [--batch 16] [--iters 6] \
+      [--paths xla,pallas,pallas+conv]
+"""
+import argparse
+import dataclasses
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crop", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--paths", default="xla,pallas,pallas+conv")
+    ap.add_argument("--flow_prior", action="store_true", default=True)
+    ap.add_argument("--json_out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from vfi_tpu.utils.config import load_train_config
+
+    results = {}
+    for path in args.paths.split(","):
+        overrides = [
+            "--batch_size", str(args.batch),
+            "--crop_size", f"[{args.crop},{args.crop}]",
+            "--target_unit_range", "true",
+            "--dcn_max_offset", "2", "--warp_max_flow", "16",
+            "--fuse_project", "true",
+            "--flow_prior", "true" if args.flow_prior else "false",
+            "--flow_photo_pyramid", "true",
+            "--cascade_levels", "2",
+            "--remat", "true",
+            "--num_epochs", "1",
+        ]
+        if path == "xla":
+            overrides += ["--use_pallas", "false"]
+        elif path == "pallas":
+            overrides += ["--use_pallas", "true"]
+        elif path == "pallas+conv":
+            overrides += ["--use_pallas", "true", "--conv_kernel", "pallas"]
+        else:
+            raise SystemExit(f"unknown path {path}")
+        cfg = load_train_config("config/train_config.yaml", overrides)
+
+        from vfi_tpu.train.loop import Trainer
+
+        trainer = Trainer(cfg)
+        rng = np.random.default_rng(0)
+        shape = (args.batch, args.crop, args.crop, 3)
+        f0, ft, f1 = (jax.numpy.asarray(
+            rng.standard_normal(shape), jax.numpy.float32) for _ in range(3))
+
+        state = trainer.state
+        # warmup/compile
+        state, metrics = trainer.train_step(state, trainer.vgg_params,
+                                            f0, ft, f1)
+        jax.block_until_ready(metrics)
+        t0 = time.time()
+        for _ in range(args.iters):
+            state, metrics = trainer.train_step(state, trainer.vgg_params,
+                                                f0, ft, f1)
+        jax.block_until_ready(metrics)
+        dt = (time.time() - t0) / args.iters
+        ips = args.batch / dt
+        print(f"{path:12s} crop {args.crop} b{args.batch}: "
+              f"{dt*1e3:8.1f} ms/step  {ips:7.2f} samples/s", flush=True)
+        results[path] = {"ms_per_step": round(dt * 1e3, 1),
+                         "samples_per_s": round(ips, 2)}
+        del trainer, state
+    if args.json_out:
+        import json
+
+        with open(args.json_out, "w") as fh:
+            json.dump({"crop": args.crop, "batch": args.batch,
+                       "results": results}, fh, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -33,7 +33,9 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vfi_tpu.models.layers import ConvBlock, ModulatedDeformConv, torch_bias_init, torch_kernel_init
+from vfi_tpu.models.layers import (ConvBlock, ConvBlockParams,
+                                   ModulatedDeformConv, apply_conv_chain,
+                                   torch_bias_init, torch_kernel_init)
 from vfi_tpu.ops.resize import resize_bilinear
 from vfi_tpu.ops.warp import warp
 
@@ -176,15 +178,25 @@ class EMAVFI(nn.Module):
         # Flax shares the parameters across calls, so the parameter tree
         # (names and shapes) is identical for every cascade_levels value.
         pc = self.conv_kernel == "pallas"
-        feat_conv1 = ConvBlock(m, dtype=dt, use_pallas=pc,
-                               name="feat_ext_conv1")
-        feat_blocks = [ConvBlock(m, dtype=dt, use_pallas=pc,
-                                 name=f"feat_ext_block{i}")
-                       for i in range(self.num_blocks)]
+        # Fused-chain mode: the stride-1 trunk stages (feature blocks,
+        # motion estimation, reconstruction) each run as ONE fused Pallas
+        # kernel over explicit parameters (identical tree — see
+        # ConvBlockParams). Off under manual spatial sharding, whose
+        # per-layer row masks the fused kernel does not reproduce.
+        fused_mode = pc and self.spatial_axis is None
+        # 6-channel input conv: the packed kernel does not support C=6 and
+        # the v1 kernel measures slower than XLA there — keep XLA.
+        feat_conv1 = ConvBlock(m, dtype=dt, name="feat_ext_conv1")
+        if fused_mode:
+            feat_blocks_p = [ConvBlockParams(m, name=f"feat_ext_block{i}")
+                             for i in range(self.num_blocks)]
+        else:
+            feat_blocks = [ConvBlock(m, dtype=dt, use_pallas=pc,
+                                     name=f"feat_ext_block{i}")
+                           for i in range(self.num_blocks)]
         ctx_conv1 = ConvBlock(2 * m, stride=2, dtype=dt, name="ctx_conv1")
         ctx_conv2 = ConvBlock(4 * m, stride=2, dtype=dt, name="ctx_conv2")
-        ctx_conv3 = ConvBlock(4 * m, dtype=dt, use_pallas=pc,
-                              name="ctx_conv3")
+        ctx_conv3 = ConvBlock(4 * m, dtype=dt, name="ctx_conv3")
         ctx_dense = nn.Dense(
             m,
             kernel_init=torch_kernel_init,
@@ -193,12 +205,17 @@ class EMAVFI(nn.Module):
             param_dtype=jnp.float32,
             name="ctx_dense",
         )
-        motion_conv1 = ConvBlock(m, dtype=dt, use_pallas=pc,
-                                 name="motion_conv1")
-        motion_conv2 = ConvBlock(m, dtype=dt, use_pallas=pc,
-                                 name="motion_conv2")
-        motion_conv3 = ConvBlock(2, act=False, dtype=dt, use_pallas=pc,
-                                 name="motion_conv3")
+        if fused_mode:
+            motion_p = [ConvBlockParams(m, name="motion_conv1"),
+                        ConvBlockParams(m, name="motion_conv2"),
+                        ConvBlockParams(2, name="motion_conv3")]
+        else:
+            motion_conv1 = ConvBlock(m, dtype=dt, use_pallas=pc,
+                                     name="motion_conv1")
+            motion_conv2 = ConvBlock(m, dtype=dt, use_pallas=pc,
+                                     name="motion_conv2")
+            motion_conv3 = ConvBlock(2, act=False, dtype=dt, use_pallas=pc,
+                                     name="motion_conv3")
 
         def motion_stages(a, b2, mask=mask, sharded=None):
             """Stages 1-3 (feature extraction, context encoding, motion
@@ -213,8 +230,13 @@ class EMAVFI(nn.Module):
             # 1. Feature extraction (stride-1 trunk at this scale).
             feat = jnp.concatenate([a, b2], axis=-1)
             feat = mask(feat_conv1(feat))
-            for blk in feat_blocks:
-                feat = mask(blk(feat))
+            if fused_mode:
+                kbs = [p(m) for p in feat_blocks_p]
+                feat = apply_conv_chain(feat, kbs,
+                                        (True,) * self.num_blocks, dt)
+            else:
+                for blk in feat_blocks:
+                    feat = mask(blk(feat))
 
             # 2. Context encoding -> one global M-dim vector per pair.
             ctx = mask(ctx_conv1(feat), 2)
@@ -240,9 +262,13 @@ class EMAVFI(nn.Module):
             # (spatial mode: the broadcast ctx is nonzero on out-of-image
             # slab rows — mask the concatenation so conv padding matches)
             flow = mask(jnp.concatenate([feat, ctx_map], axis=-1))
-            flow = mask(motion_conv1(flow))
-            flow = mask(motion_conv2(flow))
-            flow = mask(motion_conv3(flow))
+            if fused_mode:
+                kbs = [motion_p[0](2 * m), motion_p[1](m), motion_p[2](m)]
+                flow = apply_conv_chain(flow, kbs, (True, True, False), dt)
+            else:
+                flow = mask(motion_conv1(flow))
+                flow = mask(motion_conv2(flow))
+                flow = mask(motion_conv3(flow))
             return feat, flow
 
         # 0. Self-cascade coarse-to-fine prior: run the motion stages on
@@ -348,11 +374,18 @@ class EMAVFI(nn.Module):
                                              name=f"fusion_dcn{i}")(fused))
 
         # 6. Reconstruction head -> [0, 1] frame.
-        out = mask(ConvBlock(m, dtype=dt, use_pallas=pc,
-                             name="rec_conv1")(fused))
-        out = mask(ConvBlock(m // 2, dtype=dt, use_pallas=pc,
-                             name="rec_conv2")(out))
-        out = ConvBlock(self.in_channels, act=False, dtype=dt, use_pallas=pc,
-                        name="rec_conv3")(out)
+        if fused_mode:
+            rec_kbs = [ConvBlockParams(m, name="rec_conv1")(fused_ch),
+                       ConvBlockParams(m // 2, name="rec_conv2")(m),
+                       ConvBlockParams(self.in_channels,
+                                       name="rec_conv3")(m // 2)]
+            out = apply_conv_chain(fused, rec_kbs, (True, True, False), dt)
+        else:
+            out = mask(ConvBlock(m, dtype=dt, use_pallas=pc,
+                                 name="rec_conv1")(fused))
+            out = mask(ConvBlock(m // 2, dtype=dt, use_pallas=pc,
+                                 name="rec_conv2")(out))
+            out = ConvBlock(self.in_channels, act=False, dtype=dt,
+                            use_pallas=pc, name="rec_conv3")(out)
         out = jnp.tanh(out)
         return ((out + 1.0) * 0.5).astype(jnp.promote_types(frame1.dtype, jnp.float32))

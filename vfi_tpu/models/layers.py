@@ -270,20 +270,22 @@ class ModulatedDeformConv(nn.Module):
         off_fast = (self.conv_kernel == "pallas" and self.stride == 1
                     and self.dilation == 1 and self.padding == k // 2)
         if off_fast:
-            from vfi_tpu.ops.pallas.conv import pallas_conv_v2_feasible
+            from vfi_tpu.ops.pallas.conv import pallas_conv_chain_feasible
             from vfi_tpu.ops.pallas.sampling import pallas_backend_supported
 
             dt_ = self.dtype or x.dtype
-            off_fast = pallas_backend_supported() and pallas_conv_v2_feasible(
-                x.shape[1], x.shape[2], x.shape[-1], og * 3 * n_taps, k,
-                jnp.dtype(dt_).itemsize)
+            off_fast = (pallas_backend_supported()
+                        and pallas_conv_chain_feasible(
+                            x.shape[1], x.shape[2],
+                            (x.shape[-1], og * 3 * n_taps),
+                            jnp.dtype(dt_).itemsize))
         if off_fast:
             raw = _PallasConv(
                 og * 3 * n_taps, k,
                 kernel_init=nn.initializers.zeros,
                 bias_init=nn.initializers.zeros,
                 act=False,
-                variant="v2",
+                variant="chain",
                 dtype=self.dtype,
                 name="offset_conv",
             )(x)
@@ -378,3 +380,74 @@ class ModulatedDeformConv(nn.Module):
             padding=self.padding,
             dilation=self.dilation,
         )
+
+
+class _ConvParamsInner(nn.Module):
+    """Creates nn.Conv-identical {kernel, bias} params and returns them."""
+
+    kernel_shape: tuple
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_kernel_init, self.kernel_shape,
+                            jnp.float32)
+        bias = (self.param("bias", torch_bias_init(self.kernel_shape),
+                           (self.kernel_shape[-1],), jnp.float32)
+                if self.use_bias else None)
+        return kernel, bias
+
+
+class ConvBlockParams(nn.Module):
+    """Parameter-only twin of ConvBlock: builds the identical
+    ``<name>/conv/{kernel, bias}`` tree (same shapes, same torch-parity
+    init) and returns the arrays instead of applying the conv — so a fused
+    multi-layer kernel (ops/pallas/conv.conv_chain_pallas) can consume
+    several blocks' parameters in one call while checkpoints remain
+    interchangeable with the ConvBlock path."""
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, cin: int):
+        ks = (self.kernel_size, self.kernel_size, cin, self.features)
+        return _ConvParamsInner(ks, use_bias=self.use_bias, name="conv")()
+
+
+def apply_conv_chain(x, kbs, acts, dtype=None):
+    """Apply a chain of stride-1 3x3 conv(+ReLU) layers given explicit
+    (kernel, bias) pairs: the fused Pallas chain kernel when the backend
+    and shape support it, else the numerically matching XLA sequence.
+    ConvBlock semantics per layer (zeros padding 1, f32 accumulation)."""
+    import jax
+
+    compute = dtype or x.dtype
+    x = x.astype(compute)
+    ws = tuple(k.astype(compute) for k, _ in kbs)
+    bs = tuple(b.astype(compute) if b is not None else None for _, b in kbs)
+    chans = (x.shape[-1],) + tuple(w.shape[-1] for w in ws)
+
+    from vfi_tpu.ops.pallas.conv import pallas_conv_chain_feasible
+    from vfi_tpu.ops.pallas.sampling import pallas_backend_supported
+
+    if (pallas_backend_supported() and all(b is not None for b in bs)
+            and pallas_conv_chain_feasible(
+                x.shape[1], x.shape[2], chans,
+                jnp.dtype(compute).itemsize)):
+        from vfi_tpu.ops.pallas.wrappers import conv_chain_fast
+
+        return conv_chain_fast(x, ws, bs, tuple(acts))
+    o = x
+    for w, b_, a in zip(ws, bs, acts):
+        o = jax.lax.conv_general_dilated(
+            o, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        if b_ is not None:
+            o = o + b_.astype(jnp.float32)
+        if a:
+            o = jnp.maximum(o, 0.0)
+        o = o.astype(compute)
+    return o

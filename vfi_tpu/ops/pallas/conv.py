@@ -506,8 +506,7 @@ def _chain_dims(h: int, w: int, chans: tuple) -> tuple:
 def _pick_th_chain(h: int, w2: int, chans: tuple, itemsize: int = 2,
                    budget: int = 30 * 1024 * 1024) -> int:
     L = len(chans) - 1
-    kmax = max(9 * 2 * c for c in chans[:-1])
-    prow = 0  # patch rows at max K (layer with widest K is layer argmax)
+    cmax = max(chans[:-1])
     for b in (budget, 48 * 1024 * 1024):
         for th in (16, 8, 4, 2):
             if h % th != 0 or h // th < 2:
@@ -516,13 +515,9 @@ def _pick_th_chain(h: int, w2: int, chans: tuple, itemsize: int = 2,
             inters = sum((th + 2 * (L - l)) * w2 *
                          _pad128(2 * chans[l]) * itemsize
                          for l in range(1, L))
-            patches = 0
-            for l in range(L):
-                rows = th + 2 * (L - l - 1)
-                patches = max(patches,
-                              rows * w2 * _pad128(9 * 2 * chans[l]) * itemsize)
+            rots = 2 * (th + 2 * L) * w2 * _pad128(2 * cmax) * itemsize
             blocks = 2 * th * w2 * _pad128(2 * chans[-1]) * itemsize
-            if slabs + inters + patches + blocks <= b:
+            if slabs + inters + rots + blocks <= b:
                 return th
     raise ValueError(f"no VMEM-feasible chain row slab for h={h} w2={w2} "
                      f"chans={chans}")
@@ -550,7 +545,7 @@ def _chain_kernel(*refs, k: int, TH: int, W2: int, chans: tuple,
     """One (batch, row-slab) grid step of the fused chain.
 
     refs layout: w_0..w_{L-1}, b_0..b_{L-1}, x_hbm, out_ref, slab_ref,
-    patch_ref, inter_1..inter_{L-1}, sems.
+    rot_p, rot_m, inter_1..inter_{L-1}, sems.
     """
     L = len(chans) - 1
     w_refs = refs[:L]
@@ -558,9 +553,10 @@ def _chain_kernel(*refs, k: int, TH: int, W2: int, chans: tuple,
     x_hbm = refs[2 * L]
     out_ref = refs[2 * L + 1]
     slab_ref = refs[2 * L + 2]
-    patch_ref = refs[2 * L + 3]
-    inters = refs[2 * L + 4:2 * L + 4 + (L - 1)]
-    sems = refs[2 * L + 4 + (L - 1)]
+    rot_p = refs[2 * L + 3]
+    rot_m = refs[2 * L + 4]
+    inters = refs[2 * L + 5:2 * L + 5 + (L - 1)]
+    sems = refs[2 * L + 5 + (L - 1)]
 
     b = pl.program_id(0)
     r = pl.program_id(1)
@@ -616,52 +612,55 @@ def _chain_kernel(*refs, k: int, TH: int, W2: int, chans: tuple,
             out_ref.dtype)
         return
 
+    # Per layer: stage TWO lane-rotated copies of the source (all pixels
+    # shifted +-1 — the flat-shift decomposition, 2 sub-copies + a W-edge
+    # zero each), then accumulate NINE direct dots whose operands are
+    # leading-dim row windows of {rot_m, src, rot_p} — no per-tap copies,
+    # no patch buffer: VPU traffic is 4 full passes/layer instead of ~18
+    # (the im2col build measured 1.7 ms/layer of copies at 720p).
     for l in range(L):
         cs = chans[l]
         rows_out = TH + 2 * (L - l - 1)
-        kk = k * k * 2 * cs
+        rows_in = rows_out + 2
         if l == 0:
-            def src_rows(i, rows):
-                return slab_ref[slot, i:i + rows]
+            src = slab_ref.at[slot]
         else:
-            def src_rows(i, rows, _src=inters[l - 1]):
-                return _src[i:i + rows]
+            src = inters[l - 1]
 
         if _dbg != "nocopy":
-            for t in range(k * k):
-                i, j = divmod(t, k)
-                dx = j - 1
-                base = t * 2 * cs
-                if dx == 0:
-                    patch_ref[:rows_out, :, base:base + 2 * cs] = \
-                        src_rows(i, rows_out)
-                elif dx > 0:
-                    patch_ref[:rows_out, :, base:base + cs] = \
-                        src_rows(i, rows_out)[:, :, cs:2 * cs]
-                    patch_ref[:rows_out, :W2 - 1, base + cs:base + 2 * cs] = \
-                        src_rows(i, rows_out)[:, 1:W2, :cs]
-                    patch_ref[:rows_out, W2 - 1:W2,
-                              base + cs:base + 2 * cs] = \
-                        jnp.zeros((rows_out, 1, cs), patch_ref.dtype)
-                else:
-                    patch_ref[:rows_out, 1:W2, base:base + cs] = \
-                        src_rows(i, rows_out)[:, :W2 - 1, cs:2 * cs]
-                    patch_ref[:rows_out, 0:1, base:base + cs] = \
-                        jnp.zeros((rows_out, 1, cs), patch_ref.dtype)
-                    patch_ref[:rows_out, :, base + cs:base + 2 * cs] = \
-                        src_rows(i, rows_out)[:, :, :cs]
+            # rot_p: pixel w <- w+1; rot_m: pixel w <- w-1
+            rot_p[:rows_in, :, 0:cs] = src[0:rows_in, :, cs:2 * cs]
+            rot_p[:rows_in, :W2 - 1, cs:2 * cs] = \
+                src[0:rows_in, 1:W2, 0:cs]
+            rot_p[:rows_in, W2 - 1:W2, cs:2 * cs] = \
+                jnp.zeros((rows_in, 1, cs), rot_p.dtype)
+            rot_m[:rows_in, :, cs:2 * cs] = src[0:rows_in, :, 0:cs]
+            rot_m[:rows_in, 1:W2, 0:cs] = src[0:rows_in, :W2 - 1, cs:2 * cs]
+            rot_m[:rows_in, 0:1, 0:cs] = \
+                jnp.zeros((rows_in, 1, cs), rot_m.dtype)
 
+        srcs = (rot_m, src, rot_p)
+        acc = None
+        for t in range(9):
+            i, j = divmod(t, 3)
+            if j == 1:
+                op = src[i:i + rows_out, :, 0:2 * cs]
+            else:
+                op = srcs[j][i:i + rows_out, :, 0:2 * cs]
+            if _dbg == "nodot":
+                continue
+            d = jax.lax.dot_general(
+                op, w_refs[l][t],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
         if _dbg == "nodot":
             if l == L - 1:
-                out_ref[0] = patch_ref[:TH, :, :2 * chans[-1]].astype(
+                out_ref[0] = rot_p[:TH, :, :2 * chans[-1]].astype(
                     out_ref.dtype)
             continue
 
-        o = jax.lax.dot_general(
-            patch_ref[0:rows_out, :, 0:kk], w_refs[l][...],
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o = o + b_refs[l][0].astype(jnp.float32)
+        o = acc + b_refs[l][0].astype(jnp.float32)
         if acts[l]:
             o = jnp.maximum(o, 0.0)
         if l == L - 1:
@@ -669,9 +668,6 @@ def _chain_kernel(*refs, k: int, TH: int, W2: int, chans: tuple,
         else:
             inters[l][...] = o.astype(inters[l].dtype)
             edge = L - l - 1
-            # Out-of-image rows of this intermediate were computed from a
-            # zero halo (giving relu(bias), not zero); re-zero them so the
-            # next layer's halo matches the unfused zero-padding.
 
             @pl.when(r == 0)
             def _(l=l, edge=edge):
@@ -685,7 +681,8 @@ def _chain_kernel(*refs, k: int, TH: int, W2: int, chans: tuple,
 
 
 def _blockdiag_weights(weight, dtype):
-    """(k, k, c, cout) HWIO -> pair-packed block-diagonal (9*2c, 2*cout)."""
+    """(k, k, c, cout) HWIO -> per-tap pair-packed block-diagonal
+    (9, 2c, 2*cout)."""
     k = weight.shape[0]
     cs, cout = weight.shape[2], weight.shape[3]
     w_tap = weight.astype(jnp.float32).reshape(k * k, cs, cout)
@@ -694,7 +691,7 @@ def _blockdiag_weights(weight, dtype):
     m = m.at[:, idx, :, idx, :].set(
         jnp.broadcast_to(w_tap[:, None], (k * k, 2, cs, cout))
         .transpose(1, 0, 2, 3))
-    return m.reshape(k * k * 2 * cs, 2 * cout).astype(dtype)
+    return m.reshape(k * k, 2 * cs, 2 * cout).astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("acts", "_dbg"))
@@ -727,11 +724,12 @@ def conv_chain_pallas(x: jnp.ndarray, weights: tuple, biases: tuple,
         b_ops.append(jnp.tile(v.reshape(1, chans[l + 1]), (1, 2))
                      .reshape(1, 2 * chans[l + 1]).astype(dtype))
 
-    kmax = max(9 * 2 * c for c in chans[:-1])
-    prow = max(TH + 2 * (L - l - 1) for l in range(L))
+    cmax = max(chans[:-1])
+    rmax = TH + 2 * L
     scratch = [
         pltpu.VMEM((2, TH + 2 * L, w2, 2 * cin), dtype),
-        pltpu.VMEM((prow, w2, kmax), dtype),
+        pltpu.VMEM((rmax, w2, 2 * cmax), dtype),   # rot_p
+        pltpu.VMEM((rmax, w2, 2 * cmax), dtype),   # rot_m
     ]
     for l in range(1, L):
         scratch.append(pltpu.VMEM((TH + 2 * (L - l), w2, 2 * chans[l]),

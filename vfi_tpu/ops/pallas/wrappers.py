@@ -139,8 +139,14 @@ def conv2d_fast(x, weight, bias, act: bool = False,
 
 
 def _conv_forward(x, weight, bias, act, variant):
-    from vfi_tpu.ops.pallas.conv import conv2d_pallas, conv2d_pallas_v2
+    from vfi_tpu.ops.pallas.conv import (conv2d_pallas, conv2d_pallas_v2,
+                                         conv_chain_pallas)
 
+    if variant == "chain":  # L=1 rotation-staged chain kernel
+        return conv_chain_pallas(
+            x, (weight,),
+            (bias if bias is not None
+             else jnp.zeros((weight.shape[-1],), x.dtype),), (act,))
     if variant == "v2":
         return conv2d_pallas_v2(x, weight, bias, act=act)
     return conv2d_pallas(x, weight, bias, act=act, variant=variant)
@@ -180,3 +186,44 @@ def _conv_bwd(act, variant, res, g):
 
 
 conv2d_fast.defvjp(_conv_fwd, _conv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv_chain_fast(x, weights, biases, acts):
+    """Fused stride-1 3x3 conv chain: Pallas forward
+    (ops/pallas/conv.conv_chain_pallas), backward through the equivalent
+    XLA conv sequence (one recomputed forward chain — acceptable because
+    training runs small crops; inference never takes the backward)."""
+    from vfi_tpu.ops.pallas.conv import conv_chain_pallas
+
+    return conv_chain_pallas(x, weights, biases, acts)
+
+
+def _chain_xla(x, weights, biases, acts):
+    o = x
+    for w, b_, a in zip(weights, biases, acts):
+        o = jax.lax.conv_general_dilated(
+            o, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        o = o + b_.astype(jnp.float32)
+        if a:
+            o = jnp.maximum(o, 0.0)
+        o = o.astype(x.dtype)
+    return o
+
+
+def _chain_fwd(x, weights, biases, acts):
+    from vfi_tpu.ops.pallas.conv import conv_chain_pallas
+
+    return conv_chain_pallas(x, weights, biases, acts), (x, weights, biases)
+
+
+def _chain_bwd(acts, res, g):
+    x, weights, biases = res
+    _, vjp = jax.vjp(lambda a, ws, bs: _chain_xla(a, ws, bs, acts),
+                     x, weights, biases)
+    return vjp(g.astype(x.dtype))
+
+
+conv_chain_fast.defvjp(_chain_fwd, _chain_bwd)

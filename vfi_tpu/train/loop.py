@@ -257,6 +257,7 @@ class Trainer:
                             use_pallas=cfg.use_pallas,
                             dcn_tile_w=cfg.dcn_tile_w,
                             dcn_kernel=cfg.dcn_kernel,
+                            conv_kernel=cfg.conv_kernel,
                             cascade_levels=cfg.cascade_levels,
                             fuse_project=cfg.fuse_project)
         self.vgg_layer_index = LAYER_INDEX[cfg.vgg_layer]

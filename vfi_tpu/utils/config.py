@@ -169,6 +169,10 @@ class TrainConfig:
     # Pallas DCN kernel generation: "v4" or "v5" (transposed lane-dense
     # layout; pairs with fuse_project). See models/layers.py.
     dcn_kernel: str = "v4"
+    # Conv trunk kernel: "pallas" routes the stride-1 blocks through the
+    # fused packed Pallas conv kernels (ops/pallas/conv.py); same params,
+    # numerics to bf16 rounding. See EMAVFI.conv_kernel.
+    conv_kernel: str = "xla"
     # Self-cascade depth (EMAVFI.cascade_levels): > 1 runs the model's own
     # motion stages coarse-to-fine on downsampled copies (shared weights —
     # checkpoint-compatible) and pre-warps frame2 by each level's upsampled
