@@ -394,3 +394,73 @@ def test_http_raw_content_type_with_parameters(served_model, rng):
         status, raw = _post(url, body, ctype=ctype)
         assert status == 200, (ctype, raw)
         assert np.frombuffer(raw, np.uint8).reshape(16, 16, 3).shape == (16, 16, 3)
+
+
+def test_seq_body_roundtrip(rng):
+    from vfi_tpu.serve import encode_seq_body, split_seq_body
+
+    fr = rng.integers(0, 255, (4, 6, 9, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(split_seq_body(encode_seq_body(fr)), fr)
+    with pytest.raises(ValueError, match="multiple"):
+        split_seq_body(encode_seq_body(fr)[:-1])
+    with pytest.raises(ValueError, match=">= 2"):
+        split_seq_body(encode_seq_body(fr)[:4 + 6 * 9 * 3])
+
+
+def test_batcher_sequence_launch(rng):
+    """A sequence request is its own launch via engine.midpoints_sequence
+    (one relay transfer per frame — the transfer-bound fast path)."""
+
+    class SeqEngine(RecordingEngine):
+        def midpoints_sequence(self, frames):
+            with self.lock:
+                self.batch_shapes.append(("seq", frames.shape))
+            return (frames[:-1] + frames[1:]) / 2.0
+
+    eng = SeqEngine()
+    b = MicroBatcher(eng, max_batch=4, max_delay_ms=5.0)
+    try:
+        fr = np.stack(_frames(rng, 5))
+        out = b.interpolate_sequence(fr, timeout=10)
+        np.testing.assert_allclose(out, (fr[:-1] + fr[1:]) / 2.0)
+        assert ("seq", fr.shape) in eng.batch_shapes
+        assert b.stats.requests == 4
+    finally:
+        b.close()
+
+
+def test_engine_midpoints_sequence_matches_pairs(rng):
+    """midpoints_sequence == midpoints on the consecutive pairs."""
+    from vfi_tpu.infer.pair import FrameInterpolator
+    from vfi_tpu.models import EMAVFI
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    eng = FrameInterpolator(params, mid_channels=8, num_blocks=1, bf16=False)
+    fr = rng.uniform(0, 1, (4, 16, 16, 3)).astype(np.float32)
+    seq = np.asarray(eng.midpoints_sequence(fr))
+    pairs = np.asarray(eng.midpoints(fr[:-1], fr[1:]))
+    np.testing.assert_allclose(seq, pairs, atol=2e-5)
+
+
+def test_http_sequence_route(served_model, rng):
+    import http.client
+
+    from vfi_tpu.serve import SEQ_CONTENT_TYPE, encode_seq_body
+
+    server, engine = served_model
+    fr = rng.integers(0, 255, (4, 24, 32, 3)).astype(np.uint8)
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+    conn.request("POST", "/v1/interpolate", body=encode_seq_body(fr),
+                 headers={"Content-Type": SEQ_CONTENT_TYPE})
+    resp = conn.getresponse()
+    data = resp.read()
+    assert resp.status == 200, data
+    mids = np.frombuffer(data, np.uint8).reshape(3, 24, 32, 3)
+    ref = np.asarray(engine.midpoints(
+        fr[:-1].astype(np.float32) / 255.0,
+        fr[1:].astype(np.float32) / 255.0))
+    ref_u8 = np.clip(ref * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    np.testing.assert_allclose(mids.astype(np.int16),
+                               ref_u8.astype(np.int16), atol=1)

@@ -24,6 +24,9 @@ def main() -> int:
     ap.add_argument("--crop", type=int, default=256)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--accum", type=int, default=8,
+                    help="gradient-accumulation microbatches (flagship "
+                         "recipe: 8 -> microbatch 2 at batch 16)")
     ap.add_argument("--paths", default="xla,pallas,pallas+conv")
     ap.add_argument("--flow_prior", action="store_true", default=True)
     ap.add_argument("--json_out", default=None)
@@ -45,6 +48,7 @@ def main() -> int:
             "--flow_prior", "true" if args.flow_prior else "false",
             "--flow_photo_pyramid", "true",
             "--cascade_levels", "2",
+            "--accum_steps", str(args.accum),
             "--remat", "true",
             "--num_epochs", "1",
         ]

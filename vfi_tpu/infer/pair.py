@@ -294,6 +294,45 @@ class FrameInterpolator:
             self._spatial_fwd_cache[global_h] = fn
         return fn
 
+    def midpoints_sequence(self, frames) -> jnp.ndarray:
+        """Predict the midpoints of every CONSECUTIVE pair of an (N+1, H,
+        W, 3) frame sequence -> (N, H, W, 3).
+
+        The point is transfer, not compute: video workloads feed each
+        interior frame to TWO pairs, so `midpoints(frames[:-1],
+        frames[1:])` ships every frame twice over the host<->TPU relay —
+        the measured serving bottleneck (~2 s per 720p item is bandwidth;
+        docs/PERFORMANCE.md "Serving"). Here the sequence is transferred
+        ONCE and the pair views are sliced on-device inside the jit graph,
+        halving relay bytes for n >> 1. Same numerics as midpoints().
+        """
+        n1 = frames.shape[0]
+        if n1 < 2:
+            raise ValueError("midpoints_sequence needs >= 2 frames")
+        # The HBM guard still applies: frames beyond the per-launch pixel
+        # budget fall back to chunked midpoints() (shipping the chunk
+        # boundaries twice — one frame per chunk, negligible).
+        px = frames.shape[1] * frames.shape[2]
+        if (self.max_px_per_launch is not None
+                and n1 * px > self.max_px_per_launch):
+            cap = max(2, self.max_px_per_launch // px)
+            outs = [self.midpoints_sequence(frames[i:i + cap])
+                    for i in range(0, n1 - 1, cap - 1)]
+            return jnp.concatenate(outs, axis=0)
+        if (self._auto_scale is not None or self._spatial_manual
+                or self.mesh.shape["data"] > 1):
+            # routed modes keep the pair path (probe/padding semantics)
+            return self.midpoints(np.asarray(frames[:-1]),
+                                  np.asarray(frames[1:]))
+        if not hasattr(self, "_seq_fwd"):
+            fwd = self._fwd
+
+            def seq(p, fr):
+                return fwd(p, fr[:-1], fr[1:])
+
+            self._seq_fwd = jax.jit(seq)
+        return self._seq_fwd(self.params, jnp.asarray(frames))
+
     def midpoints(self, f0: np.ndarray, f1: np.ndarray) -> jnp.ndarray:
         """Predict the temporal midpoint of each pair.
 

@@ -6,10 +6,13 @@ design notes (static-shape buckets, pad-to-max launches, deadline-bounded
 coalescing)."""
 
 from vfi_tpu.serve.batcher import BatcherStats, MicroBatcher
-from vfi_tpu.serve.server import (RAW_CONTENT_TYPE, InterpolationServer,
-                                  encode_pair_body, encode_raw_body,
-                                  split_pair_body, split_raw_body)
+from vfi_tpu.serve.server import (RAW_CONTENT_TYPE, SEQ_CONTENT_TYPE,
+                                  InterpolationServer, encode_pair_body,
+                                  encode_raw_body, encode_seq_body,
+                                  split_pair_body, split_raw_body,
+                                  split_seq_body)
 
 __all__ = ["BatcherStats", "MicroBatcher", "InterpolationServer",
-           "RAW_CONTENT_TYPE", "encode_pair_body", "encode_raw_body",
-           "split_pair_body", "split_raw_body"]
+           "RAW_CONTENT_TYPE", "SEQ_CONTENT_TYPE", "encode_pair_body",
+           "encode_raw_body", "encode_seq_body", "split_pair_body",
+           "split_raw_body", "split_seq_body"]

@@ -41,6 +41,13 @@ class _Request:
 
 
 @dataclass
+class _SeqRequest:
+    frames: np.ndarray          # (N+1, H, W, 3)
+    future: Future
+    t_submit: float
+
+
+@dataclass
 class BatcherStats:
     """Counters the worker updates under the batcher lock."""
 
@@ -108,6 +115,7 @@ class MicroBatcher:
         self.pad_to_max = bool(pad_to_max)
         self.stats = BatcherStats()
         self._buckets: Dict[Tuple[int, int], deque] = {}
+        self._seqs: deque = deque()
         self._cv = threading.Condition()
         self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True,
@@ -150,6 +158,29 @@ class MicroBatcher:
                     timeout: float | None = None) -> np.ndarray:
         """Blocking convenience wrapper around `submit`."""
         return self.submit(f0, f1).result(timeout=timeout)
+
+    def submit_sequence(self, frames: np.ndarray) -> Future:
+        """Enqueue an (N+1, H, W, 3) consecutive-frame sequence; resolves
+        to the (N, H, W, 3) midpoints. A sequence is its own device launch
+        (engine.midpoints_sequence ships each frame over the relay ONCE —
+        the transfer-bound serving fast path; no coalescing/padding)."""
+        frames = np.stack([self._coerce(f) for f in np.asarray(frames)])
+        if frames.ndim != 4 or frames.shape[0] < 2 or frames.shape[-1] != 3:
+            raise ValueError(f"expected (N+1>=2, H, W, 3) frames, got "
+                             f"{frames.shape}")
+        req = _SeqRequest(frames, Future(), time.monotonic())
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._seqs.append(req)
+            self.stats.requests += frames.shape[0] - 1
+            self._cv.notify()
+        return req.future
+
+    def interpolate_sequence(self, frames: np.ndarray,
+                             timeout: float | None = None) -> np.ndarray:
+        """Blocking convenience wrapper around `submit_sequence`."""
+        return self.submit_sequence(frames).result(timeout=timeout)
 
     def close(self):
         """Stop accepting work, drain queued requests, join the worker."""
@@ -195,8 +226,12 @@ class MicroBatcher:
 
     def _run(self):
         while True:
+            seq = None
             with self._cv:
                 while True:
+                    if self._seqs:  # sequences are ready immediately
+                        seq = self._seqs.popleft()
+                        break
                     shape, soonest = self._ready_bucket(time.monotonic())
                     if shape is not None:
                         q = self._buckets[shape]
@@ -208,7 +243,10 @@ class MicroBatcher:
                         return
                     self._cv.wait(timeout=(None if soonest is None else
                                            max(soonest - time.monotonic(), 0)))
-            self._launch(shape, batch)
+            if seq is not None:
+                self._launch_seq(seq)
+            else:
+                self._launch(shape, batch)
 
     def _launch(self, shape, batch):
         n = len(batch)
@@ -238,6 +276,24 @@ class MicroBatcher:
                 self.stats.latencies_ms.append((now - r.t_submit) * 1e3)
         for i, r in enumerate(batch):
             r.future.set_result(out[i])
+
+    def _launch_seq(self, req: _SeqRequest):
+        n = req.frames.shape[0] - 1
+        try:
+            out = np.asarray(self.engine.midpoints_sequence(req.frames))
+        except Exception as e:  # noqa: BLE001 - forwarded to the waiter
+            with self._cv:
+                self.stats.errors += n
+            req.future.set_exception(e)
+            return
+        now = time.monotonic()
+        key = f"{req.frames.shape[1]}x{req.frames.shape[2]}seq"
+        with self._cv:
+            self.stats.batches += 1
+            self.stats.batch_sizes.append(n)
+            self.stats.per_bucket[key] = self.stats.per_bucket.get(key, 0) + n
+            self.stats.latencies_ms.append((now - req.t_submit) * 1e3)
+        req.future.set_result(out)
 
     def warmup(self, height: int, width: int):
         """Compile a bucket's executable ahead of traffic (one full-size

@@ -11,6 +11,11 @@ Protocol
 --------
 POST /v1/interpolate   body = u32_be(len(png0)) | png0 | png1
                        -> 200, image/png (the temporal midpoint)
+POST /v1/interpolate   Content-Type: application/x-vfi-raw-seq
+                       body = u16_be(H) | u16_be(W) | N+1 raw u8 H*W*3 frames
+                       -> 200, x-vfi-raw-seq (N u8 midpoints, consecutive
+                       pairs) — ships each video frame over the wire AND
+                       the host->TPU relay once instead of twice
 POST /v1/interpolate   Content-Type: application/x-vfi-raw
                        body = u16_be(h) | u16_be(w) | rgb0 | rgb1
                        (two tightly packed u8 H*W*3 RGB frames)
@@ -76,6 +81,7 @@ def _encode_png(frame: np.ndarray, compress_level: int = 1) -> bytes:
 
 
 RAW_CONTENT_TYPE = "application/x-vfi-raw"
+SEQ_CONTENT_TYPE = "application/x-vfi-raw-seq"
 
 
 def encode_raw_body(f0: np.ndarray, f1: np.ndarray) -> bytes:
@@ -113,6 +119,33 @@ def split_pair_body(body: bytes) -> tuple[bytes, bytes]:
         raise ValueError(f"invalid first-frame length {n0} for "
                          f"{len(body)}-byte body")
     return body[4:4 + n0], body[4 + n0:]
+
+
+def encode_seq_body(frames: np.ndarray) -> bytes:
+    """Client-side helper: (N+1, H, W, 3) u8 RGB -> sequence request body
+    (same 4-byte dims prefix as the raw route; the frame count is implied
+    by the body length)."""
+    frames = np.ascontiguousarray(frames, np.uint8)
+    if frames.ndim != 4 or frames.shape[0] < 2 or frames.shape[3] != 3:
+        raise ValueError(f"need (N+1>=2, H, W, 3) u8 frames, got "
+                         f"{frames.shape}")
+    h, w = frames.shape[1:3]
+    return struct.pack(">HH", h, w) + frames.tobytes()
+
+
+def split_seq_body(body: bytes) -> np.ndarray:
+    """Parse a sequence request body -> (N+1, H, W, 3) uint8 frames."""
+    if len(body) < 4:
+        raise ValueError("seq body shorter than the 4-byte dims prefix")
+    h, w = struct.unpack(">HH", body[:4])
+    fsz = h * w * 3
+    if fsz == 0 or (len(body) - 4) % fsz != 0:
+        raise ValueError(f"seq body is {len(body)} bytes, not a multiple "
+                         f"of {fsz}-byte {h}x{w} frames + 4")
+    n1 = (len(body) - 4) // fsz
+    if n1 < 2:
+        raise ValueError("seq body needs >= 2 frames")
+    return np.frombuffer(body, np.uint8, offset=4).reshape(n1, h, w, 3)
 
 
 def encode_pair_body(png0: bytes, png1: bytes) -> bytes:
@@ -155,22 +188,32 @@ class _Handler(BaseHTTPRequestHandler):
         # the length-prefixed-PNG parser with a confusing 400
         ctype = self.headers.get("Content-Type", "").split(";")[0].strip().lower()
         raw = ctype == RAW_CONTENT_TYPE
+        seq = ctype == SEQ_CONTENT_TYPE
         try:
             length = int(self.headers.get("Content-Length", "0"))
             if not 0 < length <= MAX_BODY_BYTES:
                 raise ValueError(f"bad Content-Length {length}")
             body = self.rfile.read(length)
-            if raw:
+            if seq:
+                frames = split_seq_body(body)
+            elif raw:
                 f0, f1 = split_raw_body(body)
             else:
                 png0, png1 = split_pair_body(body)
                 f0, f1 = _decode_png(png0), _decode_png(png1)
-            if f0.shape != f1.shape:
+            if not seq and f0.shape != f1.shape:
                 raise ValueError(f"frame shapes differ: {f0.shape} vs {f1.shape}")
         except Exception as e:  # noqa: BLE001 - malformed request
             self._reply_json(400, {"error": str(e)})
             return
         try:
+            if seq:
+                mids = self.vfi.batcher.interpolate_sequence(
+                    frames, timeout=self.vfi.request_timeout)
+                self._reply(200,
+                            np.concatenate([_to_u8(m)[None] for m in mids]
+                                           ).tobytes(), SEQ_CONTENT_TYPE)
+                return
             mid = self.vfi.batcher.interpolate(f0, f1,
                                                timeout=self.vfi.request_timeout)
         except Exception as e:  # noqa: BLE001 - engine/timeout failure
