@@ -110,3 +110,33 @@ def test_shifts_fuzz_matches_exact(rng):
         np.testing.assert_allclose(
             np.asarray(fast), np.asarray(exact), rtol=1e-4, atol=1e-4,
             err_msg=f"case {case}: R={R} h={h} w={w} cin={cin} cout={cout}")
+
+
+def test_hand_written_backward_matches_vjp(rng):
+    """deform_conv2d_shifts_bwd == jax.vjp of the forward (the Pallas DCN
+    wrappers' training backward — no forward recompute)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vfi_tpu.ops.deform_conv_shifts import (deform_conv2d_shifts,
+                                                deform_conv2d_shifts_bwd)
+
+    b, h, w, cin, cout, k, R = 1, 6, 8, 4, 5, 3, 2
+    x = jnp.asarray(rng.standard_normal((b, h, w, cin)), jnp.float32)
+    off = jnp.asarray(
+        np.clip(rng.standard_normal((b, h, w, 2 * k * k)) * 1.3,
+                -R + .05, R - .05), jnp.float32)
+    msk = jnp.asarray(rng.uniform(0.1, 1, (b, h, w, k * k)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((k, k, cin, cout)) * 0.3,
+                     jnp.float32)
+    bs = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, h, w, cout)), jnp.float32)
+
+    _, vjp = jax.vjp(
+        lambda *a: deform_conv2d_shifts(*a, max_offset=R),
+        x, off, msk, wt, bs)
+    ref = vjp(g)
+    got = deform_conv2d_shifts_bwd(x, off, msk, wt, bs, g, max_offset=R)
+    for a, b_ in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-5, atol=5e-5)

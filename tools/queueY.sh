@@ -69,34 +69,10 @@ RECIPE="--batch_size 16 --accum_steps 8 --remat true \
   --flow_photo_pyramid true --fuse_project true \
   --lr_schedule cosine --learning_rate 5e-5 --cosine_min_lr 5e-6"
 
-# --- step 2: R=1 fine-tune + eval --------------------------------------------
-if [ ! -f runs/queueY/r1.done ]; then
-  timeout -k 5 3300 python train.py --config config/train_config.yaml \
-    $RECIPE --dcn_max_offset 1 --cascade_levels 2 --num-epochs 40 \
-    --init_model_path $M --init_flow_path $F \
-    --checkpoint_path runs/qr1/ckpt --best_model_path runs/qr1/best
-  touch runs/queueY/r1.done
-fi
-if [ -f runs/qr1/best.npz ] && [ ! -f runs/queueY/r1eval.done ]; then
-  timeout -k 5 2400 python eval.py --data-dir data/processed/val \
-    --model_path runs/qr1/best.npz --flow_model runs/qr1/best.flow.npz \
-    --flow_prior --cascade_levels 2 --dcn_max_offset 1 --warp_max_flow 16 \
-    --use_pallas --json > runs/queueY/qr1_eval.json \
-    && touch runs/queueY/r1eval.done
-  if [ -s runs/queueY/qr1_eval.json ]; then
-    cp runs/queueY/qr1_eval.json artifacts/qr1_eval.json
-    cp runs/qr1/best.npz artifacts/emavfi_qr1_best.npz
-    cp runs/qr1/best.flow.npz artifacts/emavfi_qr1_best.flow.npz
-    echo "R=1 eval:"; cat artifacts/qr1_eval.json
-    commit_retry "dcn_max_offset=1 fine-tune + eval (VERDICT r3 #6)" \
-      artifacts/qr1_eval.json artifacts/emavfi_qr1_best.npz artifacts/emavfi_qr1_best.flow.npz
-  fi
-fi
-
 # --- step 3: cascade k=3 fine-tune + eval ------------------------------------
 if [ ! -f runs/queueY/k3.done ]; then
-  timeout -k 5 3300 python train.py --config config/train_config.yaml \
-    $RECIPE --dcn_max_offset 2 --cascade_levels 3 --num-epochs 40 \
+  timeout -k 5 2700 python train.py --config config/train_config.yaml \
+    $RECIPE --dcn_max_offset 2 --cascade_levels 3 --num-epochs 30 \
     --init_model_path $M --init_flow_path $F \
     --checkpoint_path runs/qk3/ckpt --best_model_path runs/qk3/best
   touch runs/queueY/k3.done
@@ -123,9 +99,9 @@ if [ ! -f runs/queueY/fl4init.done ]; then
     && touch runs/queueY/fl4init.done
 fi
 if [ -f runs/queueY/fl4init.done ] && [ ! -f runs/queueY/fl4.done ]; then
-  timeout -k 5 3300 python train.py --config config/train_config.yaml \
+  timeout -k 5 2700 python train.py --config config/train_config.yaml \
     $RECIPE --dcn_max_offset 2 --cascade_levels 2 --flow_levels 4 \
-    --num-epochs 40 \
+    --num-epochs 30 \
     --init_model_path $M --init_flow_path runs/queueY/q13_flow4_init.npz \
     --checkpoint_path runs/qfl4/ckpt --best_model_path runs/qfl4/best
   touch runs/queueY/fl4.done
@@ -149,6 +125,30 @@ if [ -f runs/qfl4/best.flow.npz ] && [ ! -f runs/queueY/fl4eval.done ]; then
     echo "flow4 PSNR:"; cat artifacts/qfl4_eval.json 2>/dev/null
     commit_retry "flow_levels=4 fine-tune: EPE + PSNR eval (VERDICT r3 #4)" \
       artifacts/qfl4_epe.json artifacts/emavfi_qfl4_best.flow.npz
+  fi
+fi
+
+# --- step 2: R=1 fine-tune + eval --------------------------------------------
+if [ ! -f runs/queueY/r1.done ]; then
+  timeout -k 5 2700 python train.py --config config/train_config.yaml \
+    $RECIPE --dcn_max_offset 1 --cascade_levels 2 --num-epochs 30 \
+    --init_model_path $M --init_flow_path $F \
+    --checkpoint_path runs/qr1/ckpt --best_model_path runs/qr1/best
+  touch runs/queueY/r1.done
+fi
+if [ -f runs/qr1/best.npz ] && [ ! -f runs/queueY/r1eval.done ]; then
+  timeout -k 5 2400 python eval.py --data-dir data/processed/val \
+    --model_path runs/qr1/best.npz --flow_model runs/qr1/best.flow.npz \
+    --flow_prior --cascade_levels 2 --dcn_max_offset 1 --warp_max_flow 16 \
+    --use_pallas --json > runs/queueY/qr1_eval.json \
+    && touch runs/queueY/r1eval.done
+  if [ -s runs/queueY/qr1_eval.json ]; then
+    cp runs/queueY/qr1_eval.json artifacts/qr1_eval.json
+    cp runs/qr1/best.npz artifacts/emavfi_qr1_best.npz
+    cp runs/qr1/best.flow.npz artifacts/emavfi_qr1_best.flow.npz
+    echo "R=1 eval:"; cat artifacts/qr1_eval.json
+    commit_retry "dcn_max_offset=1 fine-tune + eval (VERDICT r3 #6)" \
+      artifacts/qr1_eval.json artifacts/emavfi_qr1_best.npz artifacts/emavfi_qr1_best.flow.npz
   fi
 fi
 

@@ -164,3 +164,93 @@ def _shifts_scan(xp, off, msk, weight, bias, *, R, padding, m_lo, out_shape,
     if bias is not None:
         acc = acc + bias.astype(dtype)
     return acc
+
+
+def deform_conv2d_shifts_bwd(x, offset, mask, weight, bias, g,
+                             max_offset: int = 3, padding: int = 1):
+    """Hand-written VJP of `deform_conv2d_shifts` (unrolled form).
+
+    Returns (dx, doffset, dmask_or_None, dweight, dbias_or_None) for the
+    cotangent `g` — the same gradients `jax.vjp` of the forward computes,
+    WITHOUT re-running the forward's output accumulation: the Pallas DCN
+    wrappers (ops/pallas/wrappers.py) previously paid Pallas forward +
+    shifts forward (inside jax.vjp) + shifts backward per training step;
+    this removes the middle term. The tri-weight fields and blends are
+    recomputed here (they are the natural residuals either way); weight
+    math in f32.
+
+    Gradient conventions match XLA AD: clip passes cotangents inside the
+    closed interval; tri(v) = clip(1-|v|,0,1) has slope -sign(v) on
+    0 < |v| < 1 and 0 elsewhere (sign(0) = 0).
+    """
+    import jax.numpy as jnp
+
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    n_taps = kh * kw
+    R = int(max_offset)
+    m_lo = padding + R
+    m_hi = (kh - 1 - padding) + R
+    xp = jnp.pad(x, ((0, 0), (m_lo, m_hi), (m_lo, m_hi), (0, 0)))
+    off = offset.reshape(b, h, w, n_taps, 2)
+    msk = None if mask is None else mask.reshape(b, h, w, n_taps)
+
+    g32 = g.astype(jnp.float32)
+    db = None if bias is None else jnp.sum(g32, axis=(0, 1, 2)).astype(
+        bias.dtype)
+    dxp = jnp.zeros(xp.shape, jnp.float32)
+    dW = jnp.zeros(weight.shape, jnp.float32)
+    doff = jnp.zeros((b, h, w, n_taps, 2), jnp.float32)
+    dmask = None if msk is None else jnp.zeros((b, h, w, n_taps),
+                                               jnp.float32)
+    for i in range(kh):
+        for j in range(kw):
+            t = i * kw + j
+            offy = off[..., t, 0].astype(jnp.float32)
+            offx = off[..., t, 1].astype(jnp.float32)
+            ty = jnp.clip(offy, -R, R) + (i - padding)
+            tx = jnp.clip(offx, -R, R) + (j - padding)
+            m_t = None if msk is None else msk[..., t].astype(jnp.float32)
+            # q_t = g @ W_t^T
+            q = jnp.einsum("bhwo,co->bhwc", g32,
+                           weight[i, j].astype(jnp.float32))
+            dsamp = q if m_t is None else q * m_t[..., None]
+            samp = jnp.zeros((b, h, w, cin), jnp.float32)
+            dty = jnp.zeros((b, h, w), jnp.float32)
+            dtx = jnp.zeros((b, h, w), jnp.float32)
+            for vy in range(i - padding - R, i - padding + R + 1):
+                dy = ty - vy
+                ay = jnp.clip(1.0 - jnp.abs(dy), 0.0, 1.0)
+                day = -jnp.sign(dy) * ((jnp.abs(dy) < 1.0)
+                                       & (jnp.abs(dy) > 0.0))
+                for vx in range(j - padding - R, j - padding + R + 1):
+                    dx_ = tx - vx
+                    ax = jnp.clip(1.0 - jnp.abs(dx_), 0.0, 1.0)
+                    dax = -jnp.sign(dx_) * ((jnp.abs(dx_) < 1.0)
+                                            & (jnp.abs(dx_) > 0.0))
+                    xs = xp[:, m_lo + vy:m_lo + vy + h,
+                            m_lo + vx:m_lo + vx + w, :].astype(jnp.float32)
+                    samp = samp + (ay * ax)[..., None] * xs
+                    s_v = jnp.sum(dsamp * xs, axis=-1)
+                    dty = dty + day * ax * s_v
+                    dtx = dtx + ay * dax * s_v
+                    # scatter-transpose of the shifted read
+                    dxp = dxp.at[:, m_lo + vy:m_lo + vy + h,
+                                 m_lo + vx:m_lo + vx + w, :].add(
+                        (ay * ax)[..., None] * dsamp)
+            macc = samp if m_t is None else samp * m_t[..., None]
+            dW = dW.at[i, j].set(
+                jnp.einsum("bhwc,bhwo->co", macc, g32))
+            if dmask is not None:
+                dmask = dmask.at[..., t].set(jnp.sum(q * samp, axis=-1))
+            # clip passes gradient on the closed interval
+            doff = doff.at[..., t, 0].set(
+                dty * (jnp.abs(offy) <= R))
+            doff = doff.at[..., t, 1].set(
+                dtx * (jnp.abs(offx) <= R))
+    dx = dxp[:, m_lo:m_lo + h, m_lo:m_lo + w, :].astype(x.dtype)
+    return (dx,
+            doff.reshape(offset.shape).astype(offset.dtype),
+            None if dmask is None else dmask.astype(mask.dtype),
+            dW.astype(weight.dtype),
+            db)

@@ -43,16 +43,14 @@ def _dcn_fwd(x, offset, mask, weight, bias, max_offset, tile_w):
 
 
 def _dcn_bwd(max_offset, tile_w, res, g):
+    # Hand-written shifts backward (ops/deform_conv_shifts.py): same
+    # gradients as jax.vjp of the shifts forward, without re-running the
+    # forward's output accumulation (tests/test_deform_conv_shifts.py).
     x, offset, mask, weight, bias = res
+    from vfi_tpu.ops.deform_conv_shifts import deform_conv2d_shifts_bwd
 
-    def f(x_, o_, m_, w_, b_):
-        return deform_conv2d_shifts(x_, o_, m_, w_, b_, max_offset=max_offset)
-
-    _, vjp = jax.vjp(f, x, offset, mask, weight,
-                     bias if bias is not None else jnp.zeros(weight.shape[-1], x.dtype))
-    dx, doff, dmask, dw, db = vjp(g)
-    return (dx, doff, dmask if mask is not None else None, dw,
-            db if bias is not None else None)
+    return deform_conv2d_shifts_bwd(x, offset, mask, weight, bias, g,
+                                    max_offset=max_offset)
 
 
 deform_conv2d_fast.defvjp(_dcn_fwd, _dcn_bwd)
@@ -107,15 +105,10 @@ def _dcn5_fwd(x, offset, mask, weight, bias, max_offset):
 
 def _dcn5_bwd(max_offset, res, g):
     x, offset, mask, weight, bias = res
+    from vfi_tpu.ops.deform_conv_shifts import deform_conv2d_shifts_bwd
 
-    def f(x_, o_, m_, w_, b_):
-        return deform_conv2d_shifts(x_, o_, m_, w_, b_, max_offset=max_offset)
-
-    _, vjp = jax.vjp(f, x, offset, mask, weight,
-                     bias if bias is not None else jnp.zeros(weight.shape[-1], x.dtype))
-    dx, doff, dmask, dw, db = vjp(g)
-    return (dx, doff, dmask if mask is not None else None, dw,
-            db if bias is not None else None)
+    return deform_conv2d_shifts_bwd(x, offset, mask, weight, bias, g,
+                                    max_offset=max_offset)
 
 
 deform_conv2d_fast_v5.defvjp(_dcn5_fwd, _dcn5_bwd)
