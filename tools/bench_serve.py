@@ -29,12 +29,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from vfi_tpu.serve import RAW_CONTENT_TYPE, encode_pair_body, encode_raw_body  # noqa: E402
+from vfi_tpu.serve import (RAW_CONTENT_TYPE, SEQ_CONTENT_TYPE,  # noqa: E402
+                           encode_pair_body, encode_raw_body,
+                           encode_seq_body)
 
 DATA = "/root/reference/data/processed/train/RubberWhale"
 
 
-def _load_pair(h: int, w: int, raw: bool = False) -> bytes:
+def _load_pair(h: int, w: int, raw: bool = False, seq: int = 0) -> bytes:
     from PIL import Image
 
     def frames():
@@ -51,6 +53,14 @@ def _load_pair(h: int, w: int, raw: bool = False) -> bytes:
                 for _ in range(2)]
 
     a, b = frames()
+    if seq:
+        # an (N+1)-frame sequence: linear blends between the real pair
+        # (a video-like stream); one request = seq midpoints
+        n1 = seq + 1
+        fr = np.stack([((a.astype(np.float32) * (1 - t / (n1 - 1))
+                         + b.astype(np.float32) * (t / (n1 - 1)))
+                        ).astype(np.uint8) for t in range(n1)])
+        return encode_seq_body(fr)
     if raw:
         return encode_raw_body(a, b)
 
@@ -63,7 +73,7 @@ def _load_pair(h: int, w: int, raw: bool = False) -> bytes:
 
 
 def run_load(url: str, body: bytes, clients: int, total: int,
-             timeout: float, raw: bool = False) -> dict:
+             timeout: float, raw: bool = False, seq: int = 0) -> dict:
     latencies: list[float] = []
     errors = [0]
     lock = threading.Lock()
@@ -76,10 +86,12 @@ def run_load(url: str, body: bytes, clients: int, total: int,
                     return
             t0 = time.monotonic()
             try:
+                ctype = (SEQ_CONTENT_TYPE if seq
+                         else RAW_CONTENT_TYPE if raw
+                         else "application/octet-stream")
                 req = urllib.request.Request(
                     url + "/v1/interpolate", data=body,
-                    headers={"Content-Type": RAW_CONTENT_TYPE if raw
-                             else "application/octet-stream"})
+                    headers={"Content-Type": ctype})
                 with urllib.request.urlopen(req, timeout=timeout) as r:
                     r.read()
                     ok = r.status == 200
@@ -116,6 +128,8 @@ def run_load(url: str, body: bytes, clients: int, total: int,
         "errors": errors[0],
         "wall_s": round(wall, 3),
         "requests_per_s": round(len(lat) / wall, 3) if wall else None,
+        "midpoints_per_s": (round(len(lat) * max(1, seq) / wall, 3)
+                            if wall else None),
         "latency_ms_p50": round(pct(0.50), 1) if lat else None,
         "latency_ms_p99": round(pct(0.99), 1) if lat else None,
         "server_stats": stats,
@@ -143,6 +157,10 @@ def main(argv=None) -> int:
     parser.add_argument("--raw", action="store_true",
                         help="use the zero-codec raw-RGB protocol "
                              "(application/x-vfi-raw) instead of PNG")
+    parser.add_argument("--seq", type=int, default=0,
+                        help="N>0: each request is an (N+1)-frame raw "
+                             "sequence -> N midpoints (ships each frame "
+                             "once — the relay-bandwidth fast path)")
     parser.add_argument("--f32_transfer", action="store_true",
                         help="in-process engine ships float32 to the device "
                              "instead of the default uint8")
@@ -151,7 +169,7 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     h, w = (int(v) for v in args.size.lower().split("x"))
-    body = _load_pair(h, w, raw=args.raw)
+    body = _load_pair(h, w, raw=args.raw, seq=args.seq)
 
     server = None
     url = args.url
@@ -175,9 +193,10 @@ def main(argv=None) -> int:
         url = f"http://127.0.0.1:{server.port}"
 
     result = run_load(url, body, args.clients, args.requests, args.timeout,
-                      raw=args.raw)
+                      raw=args.raw, seq=args.seq)
     result["size"] = f"{h}x{w}"
-    result["protocol"] = "raw" if args.raw else "png"
+    result["protocol"] = (f"seq{args.seq}" if args.seq
+                          else "raw" if args.raw else "png")
     result["max_batch"] = args.max_batch
     result["max_px_per_launch"] = args.max_px_per_launch or None
     if server is not None:

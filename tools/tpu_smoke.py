@@ -31,7 +31,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CASES = ("dcn_v4_f32", "dcn_v4", "dcn_v4_tiled", "dcn_v5", "warp_v2",
+CASES = ("dcn_v4_f32", "dcn_v4", "dcn_v4_tiled", "dcn_v5", "conv_chain",
+         "warp_v2",
          "model_720p")
 # model_720p compiles TWO full-model graphs (Pallas + XLA) in one
 # subprocess; everything else is a single small kernel.
@@ -118,6 +119,43 @@ def run_case(case: str) -> dict:
                          np.float32)
         ref = np.asarray(deform_conv2d_shifts(*args, max_offset=2), np.float32)
         tol = 4 * float(np.max(np.abs(ref))) * 2.0 ** -8
+    elif case == "conv_chain":
+        # round-4 fused conv chain (rotation staging, packed lanes):
+        # 3-layer 64ch chain + the 128-ch motion shape, f32, vs the XLA
+        # conv sequence — logic + lowering check of the production trunk
+        # kernel (ops/pallas/conv.py).
+        import jax
+
+        from vfi_tpu.ops.pallas.conv import conv_chain_pallas
+
+        rng = np.random.default_rng(3)
+        errs = []
+        for chans, acts in (((64, 64, 64, 64), (True, True, True)),
+                            ((128, 64, 64, 2), (True, True, False))):
+            x = jnp.asarray(rng.standard_normal((1, 16, 256, chans[0])),
+                            jnp.float32)
+            ws = tuple(jnp.asarray(
+                rng.standard_normal((3, 3, chans[l], chans[l + 1])) * 0.1,
+                jnp.float32) for l in range(len(chans) - 1))
+            bs = tuple(jnp.asarray(rng.standard_normal((c,)) * 0.1,
+                                   jnp.float32) for c in chans[1:])
+            o = x
+            for w_, b_, a_ in zip(ws, bs, acts):
+                o = jax.lax.conv_general_dilated(
+                    o, w_, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32) + b_
+                if a_:
+                    o = jnp.maximum(o, 0.0)
+            ref_c = np.asarray(o, np.float32)
+            got_c = np.asarray(conv_chain_pallas(x, ws, bs, acts),
+                               np.float32)
+            errs.append((got_c, ref_c))
+        got = np.concatenate([np.ravel(g) for g, _ in errs])
+        ref = np.concatenate([np.ravel(r) for _, r in errs])
+        # MXU default precision truncates f32 operands to bf16 passes on
+        # both paths; 8 ulp at output scale (see dcn_v4 rationale)
+        tol = 8 * float(np.max(np.abs(ref))) * 2.0 ** -8
     elif case == "model_720p":
         # COMPOSITION check (VERDICT r2 #4): one full flagship forward at
         # 720p — Pallas kernels + tw256 + cascade — against the XLA-ops
@@ -133,7 +171,10 @@ def run_case(case: str) -> dict:
         ck = os.path.join(REPO, "artifacts", "emavfi_q12_best.npz")
         kw = dict(dtype=jnp.bfloat16, dcn_max_offset=2, warp_max_flow=16,
                   cascade_levels=2)
-        m_pal = EMAVFI(use_pallas=True, dcn_tile_w=256, **kw)
+        # round 4: the production composition adds the v5 DCN kernel and
+        # the fused Pallas conv chains
+        m_pal = EMAVFI(use_pallas=True, dcn_kernel="v5",
+                       conv_kernel="pallas", **kw)
         m_xla = EMAVFI(use_pallas=False, **kw)
         if os.path.exists(ck):
             params = load_params_npz(ck)
