@@ -464,3 +464,57 @@ def test_http_sequence_route(served_model, rng):
     ref_u8 = np.clip(ref * 255.0 + 0.5, 0, 255).astype(np.uint8)
     np.testing.assert_allclose(mids.astype(np.int16),
                                ref_u8.astype(np.int16), atol=1)
+
+
+def test_sequence_guard_over_budget_no_recursion(rng):
+    """ADVICE r4 (high): a frame larger than HALF the pixel budget used to
+    make midpoints_sequence recurse on identical args until RecursionError
+    (cap=2 chunks still trip the guard — the 4K/8M and flow-prior-1080p/4M
+    serving defaults). It must fall back to the pair path instead, and
+    budget-sized chunking must still match the unchunked result."""
+    from vfi_tpu.infer.pair import FrameInterpolator
+    from vfi_tpu.models import EMAVFI
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    kw = dict(mid_channels=8, num_blocks=1, bf16=False)
+    fr = rng.uniform(0, 1, (5, 16, 16, 3)).astype(np.float32)
+    ref = np.asarray(FrameInterpolator(
+        params, max_px_per_launch=None, **kw).midpoints(fr[:-1], fr[1:]))
+
+    # 256 px/frame; budget 300 < 2*256: even one pair exceeds it
+    tiny = FrameInterpolator(params, max_px_per_launch=300, **kw)
+    np.testing.assert_allclose(
+        np.asarray(tiny.midpoints_sequence(fr)), ref, atol=2e-5)
+
+    # budget 600: cap = 2 -> 2-frame chunks, each within budget
+    mid = FrameInterpolator(params, max_px_per_launch=600, **kw)
+    np.testing.assert_allclose(
+        np.asarray(mid.midpoints_sequence(fr)), ref, atol=2e-5)
+
+
+def test_warmup_sequence_compiles_seq_route(rng):
+    """server.warmup([(n1, h, w)]) must run the exact midpoints_sequence
+    call a real x-vfi-raw-seq request takes (the round-4 A/B failed
+    because warmup only covered pair buckets)."""
+    from vfi_tpu.serve import InterpolationServer
+
+    class SeqEngine(RecordingEngine):
+        def midpoints_sequence(self, frames):
+            with self.lock:
+                self.batch_shapes.append(("seq", frames.shape))
+            return (frames[:-1] + frames[1:]) / 2.0
+
+    eng = SeqEngine()
+    server = InterpolationServer(eng, port=0)
+    try:
+        server.warmup([(9, 6, 8), (6, 8)])
+        assert ("seq", (9, 6, 8, 3)) in eng.batch_shapes
+        # the pair bucket warmed too (a (B, 6, 8, 3) midpoints launch)
+        assert any(s[-3:] == (6, 8, 3) and len(s) == 4
+                   for s in eng.batch_shapes if s[0] != "seq")
+        with pytest.raises(ValueError, match=">= 2"):
+            server.batcher.warmup_sequence(1, 6, 8)
+    finally:
+        server.shutdown()

@@ -188,8 +188,17 @@ def main(argv=None) -> int:
                                      max_batch=args.max_batch,
                                      max_px_per_launch=(args.max_px_per_launch
                                                         or None),
-                                     max_delay_ms=args.max_delay_ms).start()
-        server.warmup([(h, w)])
+                                     max_delay_ms=args.max_delay_ms,
+                                     request_timeout=args.timeout).start()
+        # Warm the exact route under test: an unwarmed seq bucket pays its
+        # first-request compile inside the measurement window (the round-4
+        # A/B failure: every request timed out behind a ~3-min compile).
+        t_warm = time.monotonic()
+        if args.seq:
+            server.warmup([(args.seq + 1, h, w)])
+        else:
+            server.warmup([(h, w)])
+        print(f"# warmup {time.monotonic() - t_warm:.1f}s", file=sys.stderr)
         url = f"http://127.0.0.1:{server.port}"
 
     result = run_load(url, body, args.clients, args.requests, args.timeout,

@@ -35,8 +35,10 @@ def main(argv=None) -> int:
                              "(one compile per observed batch size)")
     parser.add_argument("--request_timeout", type=float, default=120.0)
     parser.add_argument("--warmup", default=None,
-                        help="comma-separated HxW buckets to pre-compile, "
-                             "e.g. 720x1280,1080x1920")
+                        help="comma-separated buckets to pre-compile: HxW "
+                             "pair buckets (720x1280,1080x1920) and/or "
+                             "N@HxW sequence shapes (8@720x1280 = 9-frame "
+                             "x-vfi-raw-seq requests)")
     parser.add_argument("--fp32", action="store_true")
     parser.add_argument("--dcn_max_offset", type=int, default=None)
     parser.add_argument("--warp_max_flow", type=int, default=None)
@@ -94,7 +96,15 @@ def main(argv=None) -> int:
                                                     or None))
     if args.warmup:
         for spec in args.warmup.split(","):
-            h, w = (int(v) for v in spec.lower().split("x"))
+            spec = spec.lower()
+            if "@" in spec:  # sequence route: N@HxW = (N+1)-frame requests
+                n, hw = spec.split("@")
+                h, w = (int(v) for v in hw.split("x"))
+                print(f"warmup: compiling {int(n) + 1}-frame {h}x{w} "
+                      "sequence graphs")
+                server.warmup([(int(n) + 1, h, w)])
+                continue
+            h, w = (int(v) for v in spec.split("x"))
             b = server.batcher.launch_size((h, w))
             print(f"warmup: compiling {h}x{w} bucket (batch {b})")
             server.warmup([(h, w)])

@@ -315,6 +315,15 @@ class FrameInterpolator:
         px = frames.shape[1] * frames.shape[2]
         if (self.max_px_per_launch is not None
                 and n1 * px > self.max_px_per_launch):
+            if 2 * px > self.max_px_per_launch:
+                # Even one pair exceeds the budget: chunking by frame count
+                # cannot shrink further (a 2-frame chunk re-trips this
+                # guard — formerly a RecursionError at the real defaults:
+                # 4K against the 8M auto budget, flow-prior 1080p against
+                # 4M). Ship the pairs through midpoints(), whose guard
+                # splits by batch and never recurses on frame count.
+                return self.midpoints(np.asarray(frames[:-1]),
+                                      np.asarray(frames[1:]))
             cap = max(2, self.max_px_per_launch // px)
             outs = [self.midpoints_sequence(frames[i:i + cap])
                     for i in range(0, n1 - 1, cap - 1)]

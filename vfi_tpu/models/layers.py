@@ -153,15 +153,27 @@ class ConvBlock(nn.Module):
                 and self.groups == 1 and k % 2 == 1
                 and self.padding == k // 2)
         variant = self.pallas_variant
+        if variant not in ("auto", "im2col", "direct", "v2", "chain"):
+            raise ValueError(f"unknown pallas_variant {variant!r}; expected "
+                             "auto | im2col | direct | v2 | chain")
         if fast:
-            from vfi_tpu.ops.pallas.conv import (pallas_conv_feasible,
-                                                 pallas_conv_v2_feasible)
+            from vfi_tpu.ops.pallas.conv import (
+                pallas_conv_chain_feasible, pallas_conv_feasible,
+                pallas_conv_v2_feasible)
             from vfi_tpu.ops.pallas.sampling import pallas_backend_supported
 
             dtype = self.dtype or x.dtype
             isz = jnp.dtype(dtype).itemsize
             if not pallas_backend_supported():
                 fast = False
+            elif variant == "chain":
+                # The L=1 fused chain has its own constraints (w % 16 == 0,
+                # lane-packable first layer) that the generic picker does
+                # not know — gate it through its real feasibility check
+                # instead of silently passing the 'direct' budget math.
+                fast = pallas_conv_chain_feasible(
+                    x.shape[1], x.shape[2], (x.shape[-1], self.features),
+                    isz)
             elif variant == "auto":
                 if pallas_conv_v2_feasible(x.shape[1], x.shape[2],
                                            x.shape[-1], self.features, k,

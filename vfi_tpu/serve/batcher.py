@@ -301,3 +301,17 @@ class MicroBatcher:
         b = self.launch_size((height, width))
         z = np.zeros((b, height, width, 3), self.io_dtype)
         np.asarray(self.engine.midpoints(z, z))
+
+    def warmup_sequence(self, n_frames: int, height: int, width: int):
+        """Compile the sequence route's executable(s) for an
+        (n_frames, H, W) request ahead of traffic. Runs the exact
+        engine.midpoints_sequence call a real request takes — including
+        any HBM-guard chunking, so every chunk shape the guard will
+        produce is compiled too. Without this, the first seq request pays
+        the full compile inside its request_timeout window (the round-4
+        A/B failure mode: 0/12 completed, docs/PERFORMANCE.md "Serving
+        sequence route")."""
+        if n_frames < 2:
+            raise ValueError("sequence warmup needs n_frames >= 2")
+        z = np.zeros((n_frames, height, width, 3), self.io_dtype)
+        np.asarray(self.engine.midpoints_sequence(z))

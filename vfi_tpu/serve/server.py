@@ -271,9 +271,19 @@ class InterpolationServer:
         }
 
     def warmup(self, shapes) -> None:
-        """Pre-compile executables for (height, width) buckets."""
-        for h, w in shapes:
-            self.batcher.warmup(h, w)
+        """Pre-compile executables ahead of traffic.
+
+        Each entry is either a pair-bucket shape `(height, width)` or a
+        sequence-route shape `(n_frames, height, width)` — the latter
+        compiles the graphs an (n_frames)-frame x-vfi-raw-seq request
+        will launch (including HBM-guard chunk shapes)."""
+        for shape in shapes:
+            if len(shape) == 3:
+                n1, h, w = shape
+                self.batcher.warmup_sequence(n1, h, w)
+            else:
+                h, w = shape
+                self.batcher.warmup(h, w)
 
     def start(self) -> "InterpolationServer":
         self._thread = threading.Thread(target=self._httpd.serve_forever,
