@@ -208,3 +208,55 @@ def test_flow_photo_pyramid_terms_and_grads(rng):
     b = jax.tree.leaves(state2.params["flow"]["params"]["level0"])
     assert any(not np.allclose(np.asarray(x_), np.asarray(y_))
                for x_, y_ in zip(a, b))
+
+
+def test_flow_photo_occlusion_mask(rng):
+    """flow_photo_occlusion: the forward-backward consistency mask reports
+    its occluded fraction, the masked term stays finite, flow params still
+    train, and with a self-consistent (zero-flow) estimator the mask is
+    all-ones so the masked photometric equals the unmasked one."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vfi_tpu.losses import LossWeights
+    from vfi_tpu.models import EMAVFI
+    from vfi_tpu.models.flownet import SimpleFlowNet
+    from vfi_tpu.train.loop import make_train_step
+    from vfi_tpu.train.state import create_train_state
+
+    model = EMAVFI(mid_channels=8, num_blocks=1)
+    flow = SimpleFlowNet(mid_channels=8, levels=2)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    mp = jax.jit(model.init)(jax.random.PRNGKey(0), x, x)
+    fp = jax.jit(flow.init)(jax.random.PRNGKey(1), x, x)
+    weights = LossWeights(vgg=0.0, temporal=0.2)
+    f0 = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    ft = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    f1 = jnp.asarray(rng.uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+
+    step = jax.jit(make_train_step(
+        model, None, 0, weights, flow_module=flow, flow_prior=True,
+        flow_photo_pyramid=True, flow_photo_occlusion=True))
+    state = create_train_state({"model": mp, "flow": fp}, 1e-3)
+    state2, m = step(state, None, f0, ft, f1)
+    assert "flow_occ_frac" in m
+    occ = float(m["flow_occ_frac"])
+    assert 0.0 <= occ <= 1.0
+    assert np.isfinite(float(m["flow_photo"]))
+    assert np.isfinite(float(m["flow_photo_s2"]))
+    a = jax.tree.leaves(state.params["flow"])
+    b = jax.tree.leaves(state2.params["flow"])
+    assert any(not np.allclose(np.asarray(x_), np.asarray(y_))
+               for x_, y_ in zip(a, b))
+
+    # Fresh init => near-zero flows => fw/bw consistent => mask ~ all ones
+    # => flow_photo identical to the unmasked objective on the same params.
+    step_plain = jax.jit(make_train_step(
+        model, None, 0, weights, flow_module=flow, flow_prior=True,
+        flow_photo_pyramid=True, flow_photo_occlusion=False))
+    sp, mp_ = step_plain(create_train_state({"model": mp, "flow": fp}, 1e-3),
+                         None, f0, ft, f1)
+    assert occ == 0.0
+    np.testing.assert_allclose(float(m["flow_photo"]),
+                               float(mp_["flow_photo"]), rtol=1e-6)

@@ -507,7 +507,9 @@ def test_warmup_sequence_compiles_seq_route(rng):
             return (frames[:-1] + frames[1:]) / 2.0
 
     eng = SeqEngine()
-    server = InterpolationServer(eng, port=0)
+    # .start() before shutdown(): http.server's shutdown blocks forever
+    # unless serve_forever is running.
+    server = InterpolationServer(eng, port=0).start()
     try:
         server.warmup([(9, 6, 8), (6, 8)])
         assert ("seq", (9, 6, 8, 3)) in eng.batch_shapes

@@ -61,7 +61,8 @@ def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
                     flow_prior: bool = False,
                     flow_prior_scale: float = 0.5,
                     accum_steps: int = 1,
-                    flow_photo_pyramid: bool = False):
+                    flow_photo_pyramid: bool = False,
+                    flow_photo_occlusion: bool = False):
     """Build the jit-able train step: (state, vgg_params, f0, ft, f1) ->
     (state, metrics). vgg_params passed explicitly so its sharding is
     controlled by the caller (not baked in as jit constants). `remat`
@@ -122,7 +123,36 @@ def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
 
             if flow01 is None:
                 flow01 = flow_fn(f0, f1)
-            photo = jnp.mean(jnp.abs(warp_op(f1, flow01, mode="bilinear") - f0))
+            occ_w = None
+            if flow_photo_occlusion:
+                # Forward-backward consistency occlusion mask (Sundaram et
+                # al. 2010): where warp(f1, flow01) cannot match f0 because
+                # the pixel is occluded, the photometric error is pure
+                # noise as supervision — the round-4 flow_levels=4 negative
+                # result (docs/PERFORMANCE.md) argued the estimator's
+                # failure on Urban is supervision quality, not capacity.
+                # Non-occluded pixels satisfy flow01 ~= -flow10(warped):
+                # mask out |fw + bw_w|^2 > a1*(|fw|^2 + |bw_w|^2) + a2.
+                # stop_gradient: the mask gates, it does not train.
+                flow10 = flow_fn(f1, f0)
+                bw_w = warp_op(flow10, flow01, mode="bilinear")
+                incons = jnp.sum(jnp.square(flow01 + bw_w), -1, keepdims=True)
+                mag2 = (jnp.sum(jnp.square(flow01), -1, keepdims=True)
+                        + jnp.sum(jnp.square(bw_w), -1, keepdims=True))
+                occ_w = jax.lax.stop_gradient(
+                    (incons <= 0.01 * mag2 + 0.5).astype(f0.dtype))
+                terms["flow_occ_frac"] = 1.0 - jnp.mean(occ_w)
+
+            def masked_photo(err, w_=None):
+                """Mean |err| over non-occluded pixels (plain mean when
+                masking is off)."""
+                if w_ is None:
+                    return jnp.mean(err)
+                return (jnp.sum(err * w_)
+                        / (jnp.sum(w_) * err.shape[-1] + 1e-6))
+
+            photo = masked_photo(
+                jnp.abs(warp_op(f1, flow01, mode="bilinear") - f0), occ_w)
             terms["flow_photo"] = photo
             tot = tot + weights.temporal * photo
             if flow_photo_pyramid:
@@ -136,9 +166,11 @@ def make_train_step(model: EMAVFI, vgg_module, vgg_layer_index: int,
                 for s_ in (2, 4):
                     sh, sw = hh // s_, ww // s_
                     fl_s = _rb(flow01, (sh, sw)) / s_
-                    p_s = jnp.mean(jnp.abs(
+                    w_s = (None if occ_w is None
+                           else jax.lax.stop_gradient(_rb(occ_w, (sh, sw))))
+                    p_s = masked_photo(jnp.abs(
                         warp_op(_rb(f1, (sh, sw)), fl_s, mode="bilinear")
-                        - _rb(f0, (sh, sw))))
+                        - _rb(f0, (sh, sw))), w_s)
                     terms[f"flow_photo_s{s_}"] = p_s
                     tot = tot + weights.temporal * p_s / s_
         return tot, terms
@@ -389,7 +421,8 @@ class Trainer:
                                     flow_prior=cfg.flow_prior,
                                     flow_prior_scale=cfg.flow_prior_scale,
                                     accum_steps=cfg.accum_steps,
-                                    flow_photo_pyramid=cfg.flow_photo_pyramid)
+                                    flow_photo_pyramid=cfg.flow_photo_pyramid,
+                                    flow_photo_occlusion=cfg.flow_photo_occlusion)
         self.train_step = jax.jit(
             raw_train,
             in_shardings=(rep, rep, bsh, bsh, bsh),

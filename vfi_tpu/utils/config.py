@@ -109,6 +109,13 @@ class TrainConfig:
     # GT (VERDICT r2 #5). Off by default (exactly reproduces the round-2
     # training objective).
     flow_photo_pyramid: bool = False
+    # Occlusion masking (forward-backward consistency, Sundaram et al.
+    # 2010) for the photometric flow supervision: pixels whose forward
+    # and backward flows disagree are excluded from the photometric mean
+    # (the warped frame cannot match there — occluded content supplies
+    # noise, not signal). Round-5 response to the flow_levels=4 negative
+    # result (EPE target <= 2.5 px, VERDICT r4 #5). Off by default.
+    flow_photo_occlusion: bool = False
     # Large-motion lever (models/prior.py): pre-warp frame1 halfway along
     # the jointly-trained SimpleFlowNet flow before the main model, so the
     # stride-1 trunk only resolves the small residual. Requires
