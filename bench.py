@@ -8,14 +8,19 @@ upper bound 0.0238 frames/s — torch reconstruction with the DCN layers
 replaced by plain convs, single-core fp32 at 1280x720; see BASELINE.md
 "CPU baseline"). The north-star target is >= 10x.
 
-The flagship TPU configuration is bounded-offset sampling (DCN offsets
-clamped to 2 px, warp flow to 16 px — both architecture-level design
-choices of the TPU build, see EMAVFI docstring) with the fused Pallas
-kernels and the shipped trained checkpoint (offset-data-dependent kernel
-cost; see docs/PERFORMANCE.md "Bench honesty"). If a kernel fails to
-compile on the current toolchain the bench degrades to the XLA
-shift-decomposition, then to the exact gather path, and reports which
-configuration actually ran.
+The flagship TPU configuration (round 5) is R=1 bounded-offset sampling
+(DCN offsets clamped to 1 px, warp flow to 16 px — architecture-level
+design choices of the TPU build, see EMAVFI docstring) with the fused
+Pallas kernels and the shipped qr1 checkpoint, which was fine-tuned at
+R=1 and adjudicated across the full lever table: native composition
+26.212 dB (vs R=2 q13 26.222), auto_scale 9.0 + TTA composition
+26.806 dB vs the R=2 record 26.729 (artifacts/qr1_autoscale_tta_eval
+.json) — better quality AND a ~2x smaller DCN blend window (9 vs 25
+(tap, shift) pairs). Offset-data-dependent kernel cost; see
+docs/PERFORMANCE.md "Bench honesty". If a kernel fails to compile on
+the current toolchain the bench degrades R=1 -> R=2 -> XLA
+shift-decomposition -> exact gather, and reports which configuration
+actually ran.
 """
 
 import json
@@ -55,7 +60,11 @@ def _measure(model_kwargs: dict, b=B, h=H, w=W, iters=ITERS) -> float:
             sys.exit("bench.py: --ckpt requires a checkpoint path argument")
         ckpt = sys.argv[i + 1]
     else:
-        ckpt = next((p for p in (os.path.join(art, "emavfi_q2_best.npz"),
+        # R=1 flagship checkpoint first (its offsets were TRAINED under
+        # the R=1 clamp, so the R=1 configs below measure the real
+        # deployed regime); older R=2 checkpoints remain as fallbacks.
+        ckpt = next((p for p in (os.path.join(art, "emavfi_qr1_best.npz"),
+                                 os.path.join(art, "emavfi_q2_best.npz"),
                                  os.path.join(art, "emavfi_long2_best.npz"))
                      if os.path.exists(p)), None)
     extra = {}
@@ -129,9 +138,16 @@ def main() -> int:
     # shifts path at every offset regime (docs/PERFORMANCE.md); XLA shifts
     # and exact-gather remain as degradation rungs if Mosaic fails.
     configs = [
-        # round 4: + the packed Pallas conv kernel for the stride-1 trunk
-        # (the XLA conv emitter runs these at ~8% MFU; see
-        # docs/PERFORMANCE.md "Pallas conv kernel")
+        # round 5: R=1 flagship (qr1 checkpoint trained at this clamp).
+        # The DCN blend window shrinks 25 -> 9 (tap, shift) pairs on a
+        # stack that is ~60% of the R=2 frame (docs/PERFORMANCE.md
+        # "dcn_max_offset=1").
+        ("pallas-v5+conv-r1", dict(dcn_max_offset=1, warp_max_flow=16,
+                                   use_pallas=True, dcn_kernel="v5",
+                                   conv_kernel="pallas")),
+        ("pallas-v5-r1", dict(dcn_max_offset=1, warp_max_flow=16,
+                              use_pallas=True, dcn_kernel="v5")),
+        # R=2 rungs (round-4 flagship family) — degradation fallbacks
         ("pallas-v5+conv", dict(dcn_max_offset=2, warp_max_flow=16,
                                 use_pallas=True, dcn_kernel="v5",
                                 conv_kernel="pallas")),
