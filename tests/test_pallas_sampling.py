@@ -314,3 +314,43 @@ def test_v4_auto_plan_tiles_wide_images():
     th, tw = _pick_th_tw_v4(720, 1280, _pad128(67), _pad128(67), 3, 3,
                             itemsize=2)
     assert tw == 1280
+
+
+@pytest.mark.parametrize("R", [1, 2])
+def test_dcn_pallas_v5_tiled_predicates(rng, R):
+    """v5 with column-tiled skip predicates (tile_w) is BIT-IDENTICAL to
+    the untiled kernel — a skipped (tap, shift, tile) term contributes
+    exactly zero — and matches the exact gather DCN. R=1 is the round-5
+    flagship geometry; offsets are drawn small so some tiles really do
+    retire shifts (the interesting codegen path)."""
+    from vfi_tpu.ops.pallas.sampling import deform_conv2d_pallas_v5
+
+    b, h, w, cin, cout, k = 1, 8, 256, 4, 5, 3   # wl=256 -> 2 tiles of 128
+    x = rng.standard_normal((b, h, w, cin)).astype(np.float32)
+    offset = np.clip(rng.standard_normal((b, h, w, 2 * k * k)) * 0.6,
+                     -R + 0.01, R - 0.01).astype(np.float32)
+    # left half static (zero offsets): its tile's bounds retire every
+    # non-center shift, exercising real per-tile skips
+    offset[:, :, : w // 2, :] = 0.0
+    mask = rng.uniform(0, 1, (b, h, w, k * k)).astype(np.float32)
+    weight = (rng.standard_normal((k, k, cin, cout)) * 0.3).astype(np.float32)
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+    args = (jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            jnp.asarray(weight), jnp.asarray(bias))
+    untiled = deform_conv2d_pallas_v5(*args, max_offset=R)
+    tiled = deform_conv2d_pallas_v5(*args, max_offset=R, tile_w=128)
+    np.testing.assert_array_equal(np.asarray(tiled), np.asarray(untiled))
+    exact = deform_conv2d(*args)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(exact),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_dcn_pallas_v5_tiled_feasibility():
+    from vfi_tpu.ops.pallas.sampling import pallas_sampling_v5_feasible
+
+    if not pallas_sampling_v5_feasible(8, 256, 4, 5, 1):
+        pytest.skip("v5 infeasible on this backend")
+    # tile must divide the lane-padded width and be a lane-tile multiple
+    assert pallas_sampling_v5_feasible(8, 256, 4, 5, 1, tile_w=128)
+    assert not pallas_sampling_v5_feasible(8, 256, 4, 5, 1, tile_w=96)
+    assert not pallas_sampling_v5_feasible(8, 250, 4, 5, 1, tile_w=100)

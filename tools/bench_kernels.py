@@ -175,6 +175,12 @@ def main():
 
         kernels["pallas-v5"] = functools.partial(
             deform_conv2d_pallas_v5, max_offset=r)
+    if "v5t" in args.kernels:  # v5 column-tiled predicates (round 5)
+        from vfi_tpu.ops.pallas.sampling import deform_conv2d_pallas_v5
+
+        for tw in (int(t) for t in str(args.tile_w).split(",")):
+            kernels[f"v5-tw{tw}"] = functools.partial(
+                deform_conv2d_pallas_v5, max_offset=r, tile_w=tw)
     if "v5v" in args.kernels:  # v5 layout variants
         from vfi_tpu.ops.pallas.sampling import deform_conv2d_pallas_v5
 

@@ -31,8 +31,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CASES = ("dcn_v4_f32", "dcn_v4", "dcn_v4_tiled", "dcn_v5", "conv_chain",
-         "warp_v2",
+CASES = ("dcn_v4_f32", "dcn_v4", "dcn_v4_tiled", "dcn_v5", "dcn_v5_tiled",
+         "conv_chain", "warp_v2",
          "model_720p")
 # model_720p compiles TWO full-model graphs (Pallas + XLA) in one
 # subprocess; everything else is a single small kernel.
@@ -119,6 +119,25 @@ def run_case(case: str) -> dict:
                          np.float32)
         ref = np.asarray(deform_conv2d_shifts(*args, max_offset=2), np.float32)
         tol = 4 * float(np.max(np.abs(ref))) * 2.0 ** -8
+    elif case == "dcn_v5_tiled":
+        # round 5: v5 column-tiled predicates at the flagship R=1
+        # geometry — must match the untiled v5 kernel bit-for-bit (a
+        # skipped (tap, shift, tile) term contributes exactly zero).
+        # Offsets zeroed over half the width so tiles really do retire
+        # shifts on hardware, not just in interpret mode.
+        import numpy as _np
+
+        from vfi_tpu.ops.pallas.sampling import deform_conv2d_pallas_v5
+
+        x, off, msk, wgt, bias = _dcn_inputs(16, 256, 67, 67, 1, "f32")
+        off = _np.clip(off, -0.99, 0.99)
+        off[:, :, :128, :] = 0.0
+        args = [jnp.asarray(a) for a in (x, off, msk, wgt, bias)]
+        got = np.asarray(deform_conv2d_pallas_v5(*args, max_offset=1,
+                                                 tile_w=128), np.float32)
+        ref = np.asarray(deform_conv2d_pallas_v5(*args, max_offset=1),
+                         np.float32)
+        tol = 0.0
     elif case == "conv_chain":
         # round-4 fused conv chain (rotation staging, packed lanes):
         # 3-layer 64ch chain + the 128-ch motion shape, f32, vs the XLA

@@ -264,8 +264,9 @@ class ModulatedDeformConv(nn.Module):
     tile_w: Optional[int] = None
     # Which Pallas DCN forward to use with use_pallas: "v4" (lane-major,
     # the round-2 production kernel) or "v5" (transposed layout — C in
-    # sublanes, lane-dense blends at any channel count; tile_w is ignored).
-    # Falls back to v4 (then shifts) when v5 is infeasible for the shape.
+    # sublanes, lane-dense blends at any channel count; tile_w selects
+    # its column-tiled skip predicates, round 5). Falls back to v4 (then
+    # shifts) when v5 is infeasible for the shape.
     pallas_kernel: str = "v4"
     # "pallas" routes the OFFSET-predicting conv (a full-res 3x3 stride-1
     # conv like the trunk blocks, reference src/models/ema_vfi.py:42-43)
@@ -351,6 +352,15 @@ class ModulatedDeformConv(nn.Module):
                     from vfi_tpu.ops.pallas.wrappers import (
                         deform_conv2d_fast_v5)
 
+                    # Optional column-tiled predicates (tile_w): degrade
+                    # to the untiled plan when the tile can't split this
+                    # input's lane-padded width (same policy as v4's).
+                    tw5 = self.tile_w
+                    if tw5 is not None and not pallas_sampling_v5_feasible(
+                            x.shape[1], x.shape[2], x.shape[3],
+                            self.features, self.max_offset, isz,
+                            tile_w=tw5):
+                        tw5 = None
                     if pallas_sampling_v5_feasible(
                             x.shape[1], x.shape[2], x.shape[3],
                             self.features, self.max_offset, isz):
@@ -358,7 +368,7 @@ class ModulatedDeformConv(nn.Module):
                             x.astype(dtype), offset.astype(dtype),
                             mask.astype(dtype), weight.astype(dtype),
                             bias.astype(dtype) if bias is not None else None,
-                            self.max_offset)
+                            self.max_offset, tw5)
                     # infeasible for this shape: degrade to the v4 plan
                 # Requested explicit tile that can't apply to this width
                 # (or slab) degrades to the auto plan, not to a failure:

@@ -1006,12 +1006,18 @@ def _pick_th_v5(h: int, wl: int, cs: int, cout: int, m: int, n_taps: int,
 
 
 def pallas_sampling_v5_feasible(h: int, w: int, c: int, cout: int, R: int,
-                                itemsize: int = 2) -> bool:
-    """Static feasibility of the v5 kernel for this shape."""
+                                itemsize: int = 2,
+                                tile_w: Optional[int] = None) -> bool:
+    """Static feasibility of the v5 kernel for this shape (and, when
+    tile_w is given, of its column-tiled predicate plan — the tile must
+    evenly split the lane-padded width into lane-tile multiples)."""
     if not pallas_backend_supported():
         return False
+    wl = -(-w // 128) * 128
+    if tile_w is not None and (wl % tile_w != 0 or tile_w % 128 != 0):
+        return False
     try:
-        _pick_th_v5(h, -(-w // 128) * 128, _round8(c), cout, R + 1, 9,
+        _pick_th_v5(h, wl, _round8(c), cout, R + 1, 9,
                     itemsize=itemsize)
         return True
     except ValueError:
@@ -1023,11 +1029,19 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
                         kw: int, R: int, TH: int, W: int, C: int,
                         cout: int, padding: int, ux_list: tuple,
                         variant: str = "dot_nhwc", prefetch: bool = True,
-                        prep: str = "stage", _dbg: str = "full"):
+                        prep: str = "stage", TW_t: Optional[int] = None,
+                        _dbg: str = "full"):
     """Transposed-layout DCN forward (see the v5 block comment).
 
     pm_ref: (1, 3*taps, TH, W) f32 pre-clipped planes (dy*9, dx*9, mask*9).
-    bd_ref: (1, 1, 4, taps) SMEM clipped-offset bounds for this row slab.
+    bd_ref: (1, 1, 4, taps) SMEM clipped-offset bounds for this row slab —
+        or, with TW_t set (column-tiled predicates, the v4 tw-plan ported
+        to this layout), (1, 1, ntiles, 4, taps) bounds per (row slab,
+        column tile): the W lanes split into W // TW_t static tiles and
+        every (tap, shift) pair is predicated PER TILE, so regions of the
+        image whose offsets never reach a shift skip its blend + matmul
+        even when some other region needs it. Proven 8-18%/layer on v4
+        trained offsets (docs/PERFORMANCE.md); layout-independent.
     w_ref: (taps, Cs, cout) tap weights (C sublane-padded with zeros).
     x_hbm: (B, n_ux, Hp, Cs, Wl) — per-absolute-shift transposed copies.
     out_ref: (1, cout, TH, W) block of the (B, cout, H, W) output.
@@ -1079,9 +1093,15 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
             sx = ux - (j - padding)
             for i in range(kh):
                 t = i * kw + j
-                preds.append(jnp.logical_and(
-                    bd_ref[0, 0, 3, t] > sx - 1,
-                    bd_ref[0, 0, 2, t] < sx + 1))
+                if TW_t is None:
+                    preds.append(jnp.logical_and(
+                        bd_ref[0, 0, 3, t] > sx - 1,
+                        bd_ref[0, 0, 2, t] < sx + 1))
+                else:
+                    for ci in range(W // TW_t):
+                        preds.append(jnp.logical_and(
+                            bd_ref[0, 0, ci, 3, t] > sx - 1,
+                            bd_ref[0, 0, ci, 2, t] < sx + 1))
         any_pred = functools.reduce(jnp.logical_or, preds)
 
         if prep == "copies" and prefetch:
@@ -1108,6 +1128,78 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
 
             for j in rel_j:
                 sx = ux - (j - padding)
+
+                def blend_tiled(i, _, j=j, sx=sx):
+                    # Column-tiled predicates: every (tap, shift) pair is
+                    # guarded per static lane tile, so image regions whose
+                    # offsets never reach this shift skip its blend AND
+                    # matmul (a skipped tile's contribution is exactly
+                    # zero — all its mask-weighted axm terms vanish — so
+                    # output is bit-identical to untiled). dot_nhwc
+                    # orientation only (enforced at the wrapper).
+                    t = i * kw + j
+                    base = M - padding - R + i
+                    for ci in range(W // TW_t):
+                        lo = ci * TW_t
+                        pred = jnp.logical_and(
+                            bd_ref[0, 0, ci, 3, t] > sx - 1,
+                            bd_ref[0, 0, ci, 2, t] < sx + 1)
+
+                        @pl.when(pred)
+                        def _(ci=ci, lo=lo, t=t, base=base):
+                            if _dbg == "noblend":
+                                samp_ref[:, :, lo:lo + TW_t] = tile[
+                                    pl.ds(M, TH), :, lo:lo + TW_t]
+                            else:
+                                dy = pm_ref[0, t, :, lo:lo + TW_t]
+                                axm = jnp.maximum(
+                                    1.0 - jnp.abs(
+                                        pm_ref[0, n_taps + t, :,
+                                               lo:lo + TW_t] - sx), 0.0
+                                ) * pm_ref[0, 2 * n_taps + t, :,
+                                           lo:lo + TW_t]
+                                expr = None
+                                for v in range(R - 1, R + 2):
+                                    ay = jnp.maximum(
+                                        1.0 - jnp.abs(dy - (v - R)), 0.0)
+                                    wgt = (ay * axm)[:, None, :].astype(
+                                        samp_ref.dtype)
+                                    rows = tile[pl.ds(base + v, TH), :,
+                                                lo:lo + TW_t]
+                                    term = wgt * rows
+                                    expr = (term if expr is None
+                                            else expr + term)
+                                samp_ref[:, :, lo:lo + TW_t] = expr
+
+                                for v in (list(range(R - 1)) +
+                                          list(range(R + 2, 2 * R + 1))):
+                                    predv = jnp.logical_and(
+                                        bd_ref[0, 0, ci, 1, t]
+                                        > (v - R) - 1,
+                                        bd_ref[0, 0, ci, 0, t]
+                                        < (v - R) + 1)
+
+                                    @pl.when(predv)
+                                    def _(v=v):
+                                        ay = jnp.maximum(
+                                            1.0 - jnp.abs(dy - (v - R)),
+                                            0.0)
+                                        samp_ref[:, :, lo:lo + TW_t] += (
+                                            (ay * axm)[:, None, :].astype(
+                                                samp_ref.dtype)
+                                            * tile[pl.ds(base + v, TH), :,
+                                                   lo:lo + TW_t])
+
+                            if _dbg != "nodot":
+                                out_ref[0, :, lo:lo + TW_t, :] += (
+                                    jax.lax.dot_general(
+                                        samp_ref[:, :, lo:lo + TW_t],
+                                        w_ref[t],
+                                        dimension_numbers=(
+                                            ((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                    ).astype(out_ref.dtype))
+                    return 0
 
                 def blend(i, _, j=j, sx=sx):
                     t = i * kw + j
@@ -1178,12 +1270,13 @@ def _sampling_kernel_v5(pm_ref, bd_ref, w_ref, x_hbm, out_ref,
 
                     return 0
 
-                jax.lax.fori_loop(0, kh, blend, 0)
+                jax.lax.fori_loop(
+                    0, kh, blend_tiled if TW_t is not None else blend, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("max_offset", "padding",
                                              "variant", "prefetch",
-                                             "prep", "_dbg"))
+                                             "prep", "tile_w", "_dbg"))
 def deform_conv2d_pallas_v5(
     x: jnp.ndarray,
     offset: jnp.ndarray,
@@ -1195,6 +1288,7 @@ def deform_conv2d_pallas_v5(
     variant: str = "dot_nhwc",
     prefetch: bool = True,
     prep: str = "stage",
+    tile_w: Optional[int] = None,
     _dbg: str = "full",
 ) -> jnp.ndarray:
     """Fused bounded-offset DCNv2, transposed compute layout (v5).
@@ -1203,6 +1297,14 @@ def deform_conv2d_pallas_v5(
     `deform_conv2d_shifts` (NHWC in/out, stride 1, og=1, groups=1);
     internally C rides the sublane dim so the VPU blend and tap matmuls
     run lane-dense at any channel count.
+
+    tile_w: optional static column-tile width for the skip predicates
+    (the v4 tw plan ported to this layout — bounds are computed per
+    (row slab, lane tile) and every (tap, shift) pair is guarded per
+    tile; output bit-identical, see `_sampling_kernel_v5`). Unlike v4's,
+    this tiling adds NO extra DMA traffic — the slab stays one wide
+    transposed copy; only the predicate granularity changes. Requires
+    the production dot_nhwc/stage configuration.
     """
     b, h, w, cin = x.shape
     kh, kw, cin_g, cout = weight.shape
@@ -1247,17 +1349,44 @@ def deform_conv2d_pallas_v5(
     planes = jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (0, wl - w)))
 
     nrows = h // TH
-    r6 = planes[:, :2 * n_taps, :, :w].reshape(b, 2 * n_taps, nrows, TH, w)
-    mn = r6.min(axis=(3, 4)).transpose(0, 2, 1)            # (B, nr, 2*taps)
-    mx = r6.max(axis=(3, 4)).transpose(0, 2, 1)
-    bounds = jnp.stack([mn[..., :n_taps], mx[..., :n_taps],
-                        mn[..., n_taps:], mx[..., n_taps:]], axis=2)
-    # (B, nr, 4, taps)
+    if tile_w is None:
+        r6 = planes[:, :2 * n_taps, :, :w].reshape(
+            b, 2 * n_taps, nrows, TH, w)
+        mn = r6.min(axis=(3, 4)).transpose(0, 2, 1)        # (B, nr, 2*taps)
+        mx = r6.max(axis=(3, 4)).transpose(0, 2, 1)
+        bounds = jnp.stack([mn[..., :n_taps], mx[..., :n_taps],
+                            mn[..., n_taps:], mx[..., n_taps:]], axis=2)
+        # (B, nr, 4, taps)
+        bounds_spec = pl.BlockSpec((1, 1, 4, n_taps),
+                                   lambda bi, ri: (bi, ri, 0, 0),
+                                   memory_space=pltpu.SMEM)
+    else:
+        if variant != "dot_nhwc" or prep != "stage":
+            raise ValueError("tile_w requires the production dot_nhwc/"
+                             "stage v5 configuration")
+        if wl % tile_w != 0 or tile_w % 128 != 0:
+            raise ValueError(
+                f"tile_w={tile_w} must divide the lane-padded width {wl} "
+                "and be a lane-tile multiple")
+        ntl = wl // tile_w
+        # Bounds over the PADDED planes: the zero lanes past w only add
+        # (dy=dx=0) to the last tile's range — conservative (keeps the
+        # center pairs live there), never skips a needed term.
+        r6 = planes[:, :2 * n_taps].reshape(
+            b, 2 * n_taps, nrows, TH, ntl, tile_w)
+        mn = r6.min(axis=(3, 5)).transpose(0, 2, 3, 1)     # (B,nr,ntl,2t)
+        mx = r6.max(axis=(3, 5)).transpose(0, 2, 3, 1)
+        bounds = jnp.stack([mn[..., :n_taps], mx[..., :n_taps],
+                            mn[..., n_taps:], mx[..., n_taps:]], axis=3)
+        # (B, nr, ntl, 4, taps)
+        bounds_spec = pl.BlockSpec((1, 1, ntl, 4, n_taps),
+                                   lambda bi, ri: (bi, ri, 0, 0, 0),
+                                   memory_space=pltpu.SMEM)
 
     kern = functools.partial(
         _sampling_kernel_v5, kh=kh, kw=kw, R=R, TH=TH, W=wl, C=cs,
         cout=cout, padding=padding, ux_list=ux_list, variant=variant,
-        prefetch=prefetch, prep=prep, _dbg=_dbg)
+        prefetch=prefetch, prep=prep, TW_t=tile_w, _dbg=_dbg)
     if variant == "dot_nhwc":
         out_spec = pl.BlockSpec((1, TH, wl, cout),
                                 lambda bi, ri: (bi, ri, 0, 0))
@@ -1273,9 +1402,7 @@ def deform_conv2d_pallas_v5(
         in_specs=[
             pl.BlockSpec((1, 3 * n_taps, TH, wl),
                          lambda bi, ri: (bi, 0, ri, 0)),
-            pl.BlockSpec((1, 1, 4, n_taps),
-                         lambda bi, ri: (bi, ri, 0, 0),
-                         memory_space=pltpu.SMEM),
+            bounds_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),         # weights
             pl.BlockSpec(memory_space=pl.ANY),             # xs in HBM
         ],

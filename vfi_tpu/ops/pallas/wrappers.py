@@ -84,26 +84,29 @@ def _warp_bwd(max_flow, res, g):
 warp_fast.defvjp(_warp_fwd, _warp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def deform_conv2d_fast_v5(x, offset, mask, weight, bias, max_offset: int = 3):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def deform_conv2d_fast_v5(x, offset, mask, weight, bias, max_offset: int = 3,
+                          tile_w=None):
     """DCNv2 with bounded offsets: v5 transposed-layout Pallas forward
     (C in sublanes — lane-dense at any channel count), differentiable
-    backward through the XLA shifts formulation (same function)."""
+    backward through the XLA shifts formulation (same function).
+    tile_w: optional column-tile width for the per-tile skip predicates
+    (bit-identical output; see deform_conv2d_pallas_v5)."""
     from vfi_tpu.ops.pallas.sampling import deform_conv2d_pallas_v5
 
     return deform_conv2d_pallas_v5(x, offset, mask, weight, bias,
-                                   max_offset=max_offset)
+                                   max_offset=max_offset, tile_w=tile_w)
 
 
-def _dcn5_fwd(x, offset, mask, weight, bias, max_offset):
+def _dcn5_fwd(x, offset, mask, weight, bias, max_offset, tile_w):
     from vfi_tpu.ops.pallas.sampling import deform_conv2d_pallas_v5
 
     out = deform_conv2d_pallas_v5(x, offset, mask, weight, bias,
-                                  max_offset=max_offset)
+                                  max_offset=max_offset, tile_w=tile_w)
     return out, (x, offset, mask, weight, bias)
 
 
-def _dcn5_bwd(max_offset, res, g):
+def _dcn5_bwd(max_offset, tile_w, res, g):
     x, offset, mask, weight, bias = res
     from vfi_tpu.ops.deform_conv_shifts import deform_conv2d_shifts_bwd
 
