@@ -37,6 +37,16 @@ def main() -> int:
 
     from vfi_tpu.utils.config import load_train_config
 
+    # Persistent compile cache (same dir the train CLI's setup() uses):
+    # the flagship step's >25-min compile (docs/PERFORMANCE.md) is paid
+    # once per (config, shape) — cached reruns start in seconds.
+    import os
+
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     results = {}
     for path in args.paths.split(","):
         overrides = [

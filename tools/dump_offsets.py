@@ -59,7 +59,13 @@ def main() -> int:
         f1 = load(f"{VAL_DIR}/{args.scene}/frame11.png")
 
     params = load_model_params(args.ckpt)
-    model = EMAVFI(dcn_max_offset=args.radius, warp_max_flow=16)
+    # checkpoint topology (e.g. the q13/qr1 fuse_project lane-aligned
+    # fusion) is auto-detected off the tree, like the engine does
+    from vfi_tpu.utils.convert import infer_model_dims
+
+    fuse = infer_model_dims(params).get("fuse_project", False)
+    model = EMAVFI(dcn_max_offset=args.radius, warp_max_flow=16,
+                   fuse_project=fuse)
     _, inter = model.apply(params, jnp.asarray(f0), jnp.asarray(f1),
                            capture_intermediates=True)
 

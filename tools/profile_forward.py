@@ -27,7 +27,8 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 def capture(b: int, h: int, w: int, iters: int, logdir: str,
             use_pallas: bool = True, ckpt: str | None = None,
-            tile_w: int | None = None, dcn_kernel: str = "v4") -> None:
+            tile_w: int | None = None, dcn_kernel: str = "v4",
+            radius: int = 2, conv_kernel: str = "xla") -> None:
     from vfi_tpu.models import EMAVFI
 
     kw = {}
@@ -40,9 +41,10 @@ def capture(b: int, h: int, w: int, iters: int, logdir: str,
         params = load_params_npz(ckpt)
         kw["fuse_project"] = infer_model_dims(params).get("fuse_project",
                                                           False)
-    model = EMAVFI(dtype=jnp.bfloat16, dcn_max_offset=2, warp_max_flow=16,
+    model = EMAVFI(dtype=jnp.bfloat16, dcn_max_offset=radius,
+                   warp_max_flow=16,
                    use_pallas=use_pallas, dcn_tile_w=tile_w,
-                   dcn_kernel=dcn_kernel, **kw)
+                   dcn_kernel=dcn_kernel, conv_kernel=conv_kernel, **kw)
     if not ckpt:
         small = jnp.zeros((1, 64, 64, 3), jnp.float32)
         params = jax.jit(model.init)(jax.random.PRNGKey(0), small, small)
@@ -82,6 +84,7 @@ def aggregate(logdir: str):
     per_op = collections.Counter()
     per_cat = collections.Counter()
     total = 0
+    events = []  # (start_ps, end_ps, category) for the timeline view
     for plane in xspace.planes:
         if not plane.name.startswith("/device:TPU"):
             continue
@@ -93,21 +96,57 @@ def aggregate(logdir: str):
                 name = ev_meta.get(ev.metadata_id, "?")
                 dur = ev.duration_ps / 1e9  # ms
                 total += dur
-                per_op[_strip(name)] += dur
-    # category roll-up
+                op = _strip(name)
+                per_op[op] += dur
+                start = line.timestamp_ns * 1000 + ev.offset_ps
+                events.append((start, start + ev.duration_ps, _cat(op)))
     for op, ms in per_op.items():
-        if "custom-call" in op or "tpu_custom_call" in op:
-            cat = "pallas-kernels"
-        elif op.startswith(("fusion", "convolution", "dot")):
-            cat = op.split(".")[0]
-        elif op.startswith(("copy", "bitcast", "transpose", "reshape")):
-            cat = "layout"
-        elif op.startswith(("all-", "collective")):
-            cat = "collectives"
+        per_cat[_cat(op)] += ms
+    return per_op, per_cat, total, events
+
+
+def _cat(op: str) -> str:
+    if "custom-call" in op or "tpu_custom_call" in op:
+        return "pallas-kernels"
+    if op.startswith(("fusion", "convolution", "dot")):
+        return op.split(".")[0]
+    if op.startswith(("copy", "bitcast", "transpose", "reshape")):
+        return "layout"
+    if op.startswith(("all-", "collective")):
+        return "collectives"
+    return "other"
+
+
+def _union_ms(iv) -> float:
+    """Total covered time (ms) of a list of (start_ps, end_ps) intervals."""
+    out = 0
+    cur_s = cur_e = None
+    for s, e in sorted(iv):
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                out += cur_e - cur_s
+            cur_s, cur_e = s, e
         else:
-            cat = "other"
-        per_cat[cat] += ms
-    return per_op, per_cat, total
+            cur_e = max(cur_e, e)
+    if cur_e is not None:
+        out += cur_e - cur_s
+    return out / 1e9
+
+
+def timeline(events):
+    """WALL-accurate attribution (VERDICT r4 #7): per-category busy time
+    as an interval UNION on the device timeline (overlapping/queued events
+    are not double-counted, unlike the summed-duration view), plus the
+    device idle gap — so the rows sum to the measured wall exactly."""
+    if not events:
+        return {}, 0.0, 0.0
+    wall = (max(e for _, e, _ in events) - min(s for s, _, _ in events)) / 1e9
+    busy = _union_ms([(s, e) for s, e, _ in events])
+    by_cat = {}
+    cats = sorted({c for _, _, c in events})
+    for c in cats:
+        by_cat[c] = _union_ms([(s, e) for s, e, cc in events if cc == c])
+    return by_cat, busy, wall
 
 
 def main() -> int:
@@ -122,6 +161,9 @@ def main() -> int:
                         "fuse_project topology auto-detected)")
     p.add_argument("--tile_w", type=int, default=None)
     p.add_argument("--dcn_kernel", default="v4", choices=("v4", "v5"))
+    p.add_argument("--radius", type=int, default=2,
+                   help="dcn_max_offset (1 = round-5 flagship)")
+    p.add_argument("--conv_kernel", default="xla", choices=("xla", "pallas"))
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--keep", default=None,
                    help="keep the trace under this dir (default: tempdir)")
@@ -132,15 +174,28 @@ def main() -> int:
                      recursive=True):  # reuse an existing kept trace
         capture(args.b, args.h, args.w, args.iters, logdir,
                 use_pallas=not args.no_pallas, ckpt=args.ckpt,
-                tile_w=args.tile_w, dcn_kernel=args.dcn_kernel)
-    per_op, per_cat, total = aggregate(logdir)
+                tile_w=args.tile_w, dcn_kernel=args.dcn_kernel,
+                radius=args.radius, conv_kernel=args.conv_kernel)
+    per_op, per_cat, total, events = aggregate(logdir)
 
     n_frames = args.b * args.iters
     print(f"\ntotal device op time: {total:.1f} ms "
           f"({total / n_frames:.1f} ms/frame over {n_frames} frames)")
-    print("\nby category (ms, ms/frame):")
+    print("\nby category (ms, ms/frame; SUMMED durations — overlapping "
+          "events double-count):")
     for cat, ms in per_cat.most_common():
         print(f"  {cat:18s} {ms:9.1f}  {ms / n_frames:7.2f}")
+
+    by_cat, busy, wall = timeline(events)
+    print(f"\nTIMELINE attribution (interval union — rows sum to wall):")
+    print(f"  trace wall span     {wall:9.1f}  {wall / n_frames:7.2f}")
+    for cat, ms in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        print(f"  {cat:18s} {ms:9.1f}  {ms / n_frames:7.2f}")
+    overlap = sum(by_cat.values()) - busy
+    print(f"  cross-cat overlap  {-overlap:9.1f}  {-overlap/n_frames:7.2f}")
+    print(f"  device idle gaps    {wall - busy:9.1f}  "
+          f"{(wall - busy) / n_frames:7.2f}")
+
     print(f"\ntop {args.top} ops (ms, ms/frame):")
     for op, ms in per_op.most_common(args.top):
         print(f"  {op:48s} {ms:9.1f}  {ms / n_frames:7.2f}")
