@@ -33,6 +33,41 @@ QK3=artifacts/emavfi_qk3_best.npz
 QR1=artifacts/emavfi_qr1_best.npz
 QR1FL=artifacts/emavfi_qr1_best.flow.npz
 
+# --- step 0: finish the serving A/B (seq8 leg died on a transient -----------
+# remote-compile-relay disconnect in queueAB; raw leg completed clean) -------
+if [ ! -f artifacts/serve_seq_ab_r5.json ]; then
+  if [ ! -s runs/queueAB/serve_raw.json ]; then
+    timeout -k 5 2400 python tools/bench_serve.py --inprocess --raw --use_pallas \
+      --model_path $QR1 --dcn_max_offset 1 --warp_max_flow 16 --size 720x1280 \
+      --clients 4 --requests 24 > runs/queueAB/serve_raw.json
+  fi
+  for attempt in 1 2 3; do
+    timeout -k 5 2400 python tools/bench_serve.py --inprocess --seq 8 --use_pallas \
+      --model_path $QR1 --dcn_max_offset 1 --warp_max_flow 16 --size 720x1280 \
+      --clients 4 --requests 12 > runs/queueAC/serve_seq8.json && break
+    echo "seq8 attempt $attempt failed (relay flake?); retrying"
+    sleep 30
+  done
+  if [ -s runs/queueAB/serve_raw.json ] && [ -s runs/queueAC/serve_seq8.json ]; then
+    python - <<'PY'
+import json
+raw = json.load(open("runs/queueAB/serve_raw.json"))
+seq = json.load(open("runs/queueAC/serve_seq8.json"))
+out = {"raw_pairs": raw, "seq8": seq,
+       "speedup_midpoints_per_s": (seq.get("midpoints_per_s", 0) /
+                                   max(raw.get("midpoints_per_s", 1e-9), 1e-9)),
+       "note": "R=1 flagship (qr1); both routes warmed before load "
+               "(bench_serve warms the route under test since 1d9f0d1)"}
+json.dump(out, open("artifacts/serve_seq_ab_r5.json", "w"), indent=1)
+print(json.dumps(out)[:400])
+PY
+    commit_retry "Serving A/B of record: warmed seq8 vs raw pairs on R=1 flagship (VERDICT r4 #3)" \
+      artifacts/serve_seq_ab_r5.json
+  else
+    echo "serve A/B still failing; continuing with the rest of the queue"
+  fi
+fi
+
 # --- step 1: v5t kernel bench at R=1 -----------------------------------------
 if [ ! -f artifacts/v5t_bench_r5.log ]; then
   {
