@@ -68,6 +68,32 @@ def main() -> int:
             overrides += ["--use_pallas", "true"]
         elif path == "pallas+conv":
             overrides += ["--use_pallas", "true", "--conv_kernel", "pallas"]
+        elif path == "pallas_oldbwd":
+            # Round-3 backward reproduction: route the Pallas DCN wrappers'
+            # VJP through jax.vjp of the XLA shifts op (which re-runs the
+            # ENTIRE shifts forward per step just to discard its output —
+            # the defect the round-4 hand-written VJP removed). Measures
+            # the backward-fix delta at STEP level (VERDICT r3 #3 / r4 #4).
+            overrides += ["--use_pallas", "true"]
+
+            import jax as _jax
+
+            from vfi_tpu.ops import deform_conv_shifts as _dcs
+            from vfi_tpu.ops.pallas import wrappers as _w
+
+            def _old_bwd(max_offset, tile_w, res, g):
+                x, offset, mask, weight, bias = res
+
+                def f(x_, o_, m_, w_, b_):
+                    return _dcs.deform_conv2d_shifts(
+                        x_, o_, m_, w_, b_, max_offset=max_offset)
+
+                _, vjp = _jax.vjp(f, x, offset, mask, weight, bias)
+                return vjp(g)
+
+            _w.deform_conv2d_fast.defvjp(_w._dcn_fwd, _old_bwd)
+            _w.deform_conv2d_fast_v5.defvjp(
+                _w._dcn5_fwd, lambda mo, tw, res, g: _old_bwd(mo, tw, res, g))
         else:
             raise SystemExit(f"unknown path {path}")
         cfg = load_train_config("config/train_config.yaml", overrides)
@@ -97,6 +123,12 @@ def main() -> int:
         results[path] = {"ms_per_step": round(dt * 1e3, 1),
                          "samples_per_s": round(ips, 2)}
         del trainer, state
+        if path == "pallas_oldbwd":
+            # restore the production hand-written VJPs for later paths
+            from vfi_tpu.ops.pallas import wrappers as _wr
+
+            _wr.deform_conv2d_fast.defvjp(_wr._dcn_fwd, _wr._dcn_bwd)
+            _wr.deform_conv2d_fast_v5.defvjp(_wr._dcn5_fwd, _wr._dcn5_bwd)
     if args.json_out:
         import json
 
