@@ -84,7 +84,7 @@ def aggregate(logdir: str):
     per_op = collections.Counter()
     per_cat = collections.Counter()
     total = 0
-    events = []  # (start_ps, end_ps, category) for the timeline view
+    raw = []  # (start_ps, end_ps, op_name)
     for plane in xspace.planes:
         if not plane.name.startswith("/device:TPU"):
             continue
@@ -94,12 +94,27 @@ def aggregate(logdir: str):
                 continue
             for ev in line.events:
                 name = ev_meta.get(ev.metadata_id, "?")
-                dur = ev.duration_ps / 1e9  # ms
-                total += dur
-                op = _strip(name)
-                per_op[op] += dur
                 start = line.timestamp_ns * 1000 + ev.offset_ps
-                events.append((start, start + ev.duration_ps, _cat(op)))
+                raw.append((start, start + ev.duration_ps, name))
+    # Drop control-flow CONTAINER events (the scan/while wrapper spans the
+    # whole trace and would swallow every category): anything whose name
+    # marks an HLO while/conditional, or any single event covering >80% of
+    # the trace span — their children are reported individually.
+    if raw:
+        w0 = min(s for s, _, _ in raw)
+        w1 = max(e for _, e, _ in raw)
+        span = max(w1 - w0, 1)
+        raw = [r for r in raw
+               if " condition=" not in r[2] and " body=" not in r[2]
+               and not _strip(r[2]).startswith(("while", "conditional"))
+               and (r[1] - r[0]) <= 0.8 * span]
+    events = []  # (start_ps, end_ps, category) for the timeline view
+    for start, end, name in raw:
+        dur = (end - start) / 1e9  # ms
+        total += dur
+        op = _strip(name)
+        per_op[op] += dur
+        events.append((start, end, _cat(op)))
     for op, ms in per_op.items():
         per_cat[_cat(op)] += ms
     return per_op, per_cat, total, events
