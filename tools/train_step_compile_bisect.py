@@ -76,6 +76,20 @@ LADDER = [
                             "--flow_photo_pyramid", "true",
                             "--remat", "true", "--use_pallas", "true",
                             "--conv_kernel", "pallas"]),
+    # The EXACT flagship fine-tune recipe (crop 320, batch 16, accum 8)
+    # whose >25-min compile is the documented round-4 wall — reproduced
+    # here as its own probe so the bisect can say whether the wall is the
+    # shape, the feature set, or (if this probes fast on a quiet host)
+    # the round-4 measurement's host contention.
+    ("flagship320", ["--crop_size", "[320,320]", "--accum_steps", "8",
+                     "--batch_size", "16",
+                     "--cascade_levels", "2", "--flow_prior", "true",
+                     "--flow_photo_pyramid", "true", "--remat", "true",
+                     "--use_pallas", "true"]),
+    ("flagship320_xla", ["--crop_size", "[320,320]", "--accum_steps", "8",
+                         "--batch_size", "16",
+                         "--cascade_levels", "2", "--flow_prior", "true",
+                         "--flow_photo_pyramid", "true", "--remat", "true"]),
 ]
 
 PROBE = r"""
