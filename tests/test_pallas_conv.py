@@ -219,3 +219,34 @@ def test_convblock_rejects_unknown_variant():
     with pytest.raises(ValueError, match="pallas_variant"):
         ConvBlock(64, use_pallas=True, pallas_variant="bogus").init(
             jax.random.PRNGKey(0), x)
+
+
+def test_conv_chain_fast_mixed_dtype_backward(rng):
+    """Regression (round-5 compile-bisect find): bf16 activations with
+    f32 weight params — the trainer's mixed-precision policy — must
+    differentiate through conv_chain_fast. The XLA-recompute backward
+    used to feed lax.conv mismatched dtypes (bf16 input, f32 kernel) and
+    raise; the fix casts weights to the activation dtype exactly like
+    the Pallas forward does. Gradients must come back in the PARAM
+    dtype (f32) for the optimizer."""
+    import jax
+
+    from vfi_tpu.ops.pallas.wrappers import conv_chain_fast
+
+    chans, acts = (64, 64), (True,)
+    h, w = 8, 32
+    x = jnp.asarray(rng.standard_normal((1, h, w, chans[0])), jnp.bfloat16)
+    weights = (jnp.asarray(rng.standard_normal((3, 3, 64, 64)) * 0.1,
+                           jnp.float32),)
+    biases = (jnp.asarray(rng.standard_normal((64,)) * 0.1, jnp.float32),)
+
+    def f(a, ws, bs):
+        return conv_chain_fast(a, ws, bs, acts).astype(jnp.float32).sum()
+
+    val, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(x, weights, biases)
+    assert np.isfinite(float(val))
+    assert grads[0].dtype == jnp.bfloat16          # dx in activation dtype
+    assert grads[1][0].dtype == jnp.float32        # dW in param dtype
+    assert grads[2][0].dtype == jnp.float32
+    assert all(np.isfinite(np.asarray(g, np.float32)).all()
+               for g in jax.tree.leaves(grads))

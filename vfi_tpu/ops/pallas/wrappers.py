@@ -198,11 +198,18 @@ def conv_chain_fast(x, weights, biases, acts):
 def _chain_xla(x, weights, biases, acts):
     o = x
     for w, b_, a in zip(weights, biases, acts):
+        # Cast weights to the activation dtype like the Pallas forward
+        # does (training stores f32 params under a bf16 activation
+        # policy; lax.conv requires matching operand dtypes — and its
+        # TRANSPOSE requires the cotangent dtype to match too, so the
+        # f32 upcast happens via astype AFTER the conv rather than
+        # preferred_element_type; the MXU still accumulates bf16 convs
+        # in f32 internally). The cast's transpose returns dW in the
+        # weight's own (param) dtype.
         o = jax.lax.conv_general_dilated(
-            o, w, (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
-        o = o + b_.astype(jnp.float32)
+            o, w.astype(o.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        o = o.astype(jnp.float32) + b_.astype(jnp.float32)
         if a:
             o = jnp.maximum(o, 0.0)
         o = o.astype(x.dtype)
