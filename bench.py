@@ -62,8 +62,12 @@ def _measure(model_kwargs: dict, b=B, h=H, w=W, iters=ITERS) -> float:
     else:
         # R=1 flagship checkpoint first (its offsets were TRAINED under
         # the R=1 clamp, so the R=1 configs below measure the real
-        # deployed regime); older R=2 checkpoints remain as fallbacks.
-        ckpt = next((p for p in (os.path.join(art, "emavfi_qr1_best.npz"),
+        # deployed regime). qocc is the shipped quality flagship
+        # (native 26.251; composed record 26.857 — artifacts/
+        # qocc_autoscale_tta_eval.json); qr1 and the R=2 checkpoints
+        # remain as fallbacks.
+        ckpt = next((p for p in (os.path.join(art, "emavfi_qocc_best.npz"),
+                                 os.path.join(art, "emavfi_qr1_best.npz"),
                                  os.path.join(art, "emavfi_q2_best.npz"),
                                  os.path.join(art, "emavfi_long2_best.npz"))
                      if os.path.exists(p)), None)
