@@ -75,6 +75,8 @@ def main(argv=None) -> int:
     ap.add_argument("--flow_model", default=None)
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--batch_pairs", type=int, default=4)
+    ap.add_argument("--radius", type=int, default=2,
+                    help="dcn_max_offset (1 = round-5 flagship)")
     ap.add_argument("--dcn_tile_w", type=int, default=None,
                     help="explicit Pallas column-tile width (smaller kernel "
                          "working set at large widths)")
@@ -95,7 +97,8 @@ def main(argv=None) -> int:
         "--target_fps", str(args.target_fps),
         "--scale", str(args.scale),
         "--batch_pairs", str(args.batch_pairs),
-        "--use_pallas", "--dcn_max_offset", "2", "--warp_max_flow", "16",
+        "--use_pallas", "--dcn_max_offset", str(args.radius),
+        "--warp_max_flow", "16",
     ]
     if args.flow_model:
         cmd += ["--flow_prior", "--flow_model", args.flow_model]
