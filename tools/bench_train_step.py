@@ -68,32 +68,31 @@ def main() -> int:
             overrides += ["--use_pallas", "true"]
         elif path == "pallas+conv":
             overrides += ["--use_pallas", "true", "--conv_kernel", "pallas"]
-        elif path == "pallas_oldbwd":
-            # Round-3 backward reproduction: route the Pallas DCN wrappers'
-            # VJP through jax.vjp of the XLA shifts op (which re-runs the
-            # ENTIRE shifts forward per step just to discard its output —
-            # the defect the round-4 hand-written VJP removed). Measures
-            # the backward-fix delta at STEP level (VERDICT r3 #3 / r4 #4).
+        elif path in ("pallas_oldbwd", "pallas_handbwd"):
+            # Ablation: route the Pallas DCN wrappers' VJP through the
+            # round-4 HAND-WRITTEN shifts backward
+            # (deform_conv2d_shifts_bwd) instead of the production AD
+            # backward. Round-5 step-level A/B measured the hand form
+            # 2.1x slower (crop 320 b16: 8175 vs 3910 ms/step), which
+            # reverted the round-4 default — this path keeps the
+            # regression measurable. ("pallas_oldbwd" name kept for
+            # compatibility with round-5 queue scripts; before the
+            # revert it denoted the AD form.)
             overrides += ["--use_pallas", "true"]
-
-            import jax as _jax
 
             from vfi_tpu.ops import deform_conv_shifts as _dcs
             from vfi_tpu.ops.pallas import wrappers as _w
 
-            def _old_bwd(max_offset, tile_w, res, g):
+            def _hand_bwd(max_offset, tile_w, res, g):
                 x, offset, mask, weight, bias = res
+                return _dcs.deform_conv2d_shifts_bwd(
+                    x, offset, mask, weight, bias, g,
+                    max_offset=max_offset)
 
-                def f(x_, o_, m_, w_, b_):
-                    return _dcs.deform_conv2d_shifts(
-                        x_, o_, m_, w_, b_, max_offset=max_offset)
-
-                _, vjp = _jax.vjp(f, x, offset, mask, weight, bias)
-                return vjp(g)
-
-            _w.deform_conv2d_fast.defvjp(_w._dcn_fwd, _old_bwd)
+            _w.deform_conv2d_fast.defvjp(_w._dcn_fwd, _hand_bwd)
             _w.deform_conv2d_fast_v5.defvjp(
-                _w._dcn5_fwd, lambda mo, tw, res, g: _old_bwd(mo, tw, res, g))
+                _w._dcn5_fwd,
+                lambda mo, tw, res, g: _hand_bwd(mo, tw, res, g))
         else:
             raise SystemExit(f"unknown path {path}")
         cfg = load_train_config("config/train_config.yaml", overrides)
@@ -123,8 +122,8 @@ def main() -> int:
         results[path] = {"ms_per_step": round(dt * 1e3, 1),
                          "samples_per_s": round(ips, 2)}
         del trainer, state
-        if path == "pallas_oldbwd":
-            # restore the production hand-written VJPs for later paths
+        if path in ("pallas_oldbwd", "pallas_handbwd"):
+            # restore the production (AD) VJPs for later paths
             from vfi_tpu.ops.pallas import wrappers as _wr
 
             _wr.deform_conv2d_fast.defvjp(_wr._dcn_fwd, _wr._dcn_bwd)

@@ -43,14 +43,26 @@ def _dcn_fwd(x, offset, mask, weight, bias, max_offset, tile_w):
 
 
 def _dcn_bwd(max_offset, tile_w, res, g):
-    # Hand-written shifts backward (ops/deform_conv_shifts.py): same
-    # gradients as jax.vjp of the shifts forward, without re-running the
-    # forward's output accumulation (tests/test_deform_conv_shifts.py).
+    # AD of the XLA shifts forward. Round-5 step-level A/B
+    # (artifacts/train_step_bench_r5.json + runs/queueAF/train_step_320):
+    # the round-4 hand-written backward (ops/deform_conv_shifts.py
+    # deform_conv2d_shifts_bwd — still exported, gradient-identical,
+    # tests/test_deform_conv_shifts.py) is 2.1x SLOWER per train step
+    # than letting XLA differentiate the shifts op (crop 320 b16: 8175
+    # vs 3910 ms/step; crop 128 b8: 533 vs 250) — XLA fuses the AD
+    # backward's shift/blend chains better than the hand formulation's
+    # explicit transposed ops, and the forward "recompute" it saves is
+    # recomputed anyway under remat. The hand A/B that motivated round 4
+    # measured compile+run on one layer, where compile dominated.
     x, offset, mask, weight, bias = res
-    from vfi_tpu.ops.deform_conv_shifts import deform_conv2d_shifts_bwd
+    from vfi_tpu.ops.deform_conv_shifts import deform_conv2d_shifts
 
-    return deform_conv2d_shifts_bwd(x, offset, mask, weight, bias, g,
+    def f(x_, o_, m_, w_, b_):
+        return deform_conv2d_shifts(x_, o_, m_, w_, b_,
                                     max_offset=max_offset)
+
+    _, vjp = jax.vjp(f, x, offset, mask, weight, bias)
+    return vjp(g)
 
 
 deform_conv2d_fast.defvjp(_dcn_fwd, _dcn_bwd)
@@ -107,11 +119,9 @@ def _dcn5_fwd(x, offset, mask, weight, bias, max_offset, tile_w):
 
 
 def _dcn5_bwd(max_offset, tile_w, res, g):
-    x, offset, mask, weight, bias = res
-    from vfi_tpu.ops.deform_conv_shifts import deform_conv2d_shifts_bwd
-
-    return deform_conv2d_shifts_bwd(x, offset, mask, weight, bias, g,
-                                    max_offset=max_offset)
+    # AD of the shifts forward — see _dcn_bwd for the round-5 step-level
+    # measurement that reverted the hand-written form.
+    return _dcn_bwd(max_offset, None, res, g)
 
 
 deform_conv2d_fast_v5.defvjp(_dcn5_fwd, _dcn5_bwd)
